@@ -1,0 +1,161 @@
+"""Batched Rayleigh multipath fading channel, fully on device.
+
+TPU-native re-design of the reference's `rayleigh_chan_lte` host loop
+(`dev/py/radio.py:277-510`) and its multiprocessing wrapper
+`RayleighChanParallel` (`dev/py/ofdmreceiver_np_mp.py:191-224`, which is
+de-facto serial due to blocking `pool.apply`): here every frame's tap draw,
+FIR kernel synthesis (gains x fractional-delay alpha matrix), convolution and
+ground-truth DFT run as one vectorized XLA program — the "parallel channel
+pool" becomes plain batch parallelism, and across devices plain data sharding.
+
+Semantics parity with the reference:
+  * static fading: per-frame iid tap gains zck ~ CN(0,1);
+    gt = (zck * ch_coeff) @ alpha_matrix; rx = convolve(tx, gt, 'same')
+    over the whole frame; H = fft(gt, nfft) broadcast over symbols
+    (`dev/py/radio.py:424-438`);
+  * Doppler fading (mobile): Jakes sum-of-sinusoids per-symbol gains,
+    per-symbol convolution with n_taps look-back history
+    (`dev/py/radio.py:399-422`);
+  * channel mixes: 'mixRayleigh' cycles frames over {flat, etu, eva, epa},
+    'mixAll' over {awgn, flat, etu, eva, epa}; Doppler applied on every 3rd
+    (resp. 4th) frame when mix is on (`dev/py/radio.py:450-490`);
+  * profile-specific FIR lengths and their 'same' alignment offsets are
+    preserved exactly (kernels zero-padded to a common length; each frame
+    slices at its own offset).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dl_ofdm_tpu.channel import fir
+from dl_ofdm_tpu.channel.doppler import jakes_gains
+from dl_ofdm_tpu.channel.profiles import TapProfile, get_profile
+
+
+@dataclasses.dataclass
+class ChannelOut:
+    y: jnp.ndarray        # [B, S, n_sc] complex received waveform
+    h_freq: jnp.ndarray   # [B, S, nfft] complex ground-truth channel DFT
+
+
+def _pad_to(a: np.ndarray, shape: tuple[int, ...]) -> np.ndarray:
+    out = np.zeros(shape, dtype=a.dtype)
+    out[tuple(slice(0, s) for s in a.shape)] = a
+    return out
+
+
+class RayleighChannel:
+    """Callable channel simulator: (key, tx[B, S, n_sc]) -> ChannelOut."""
+
+    def __init__(self, channel: str = "etu", nfft: int = 64,
+                 sample_rate: float = 0.96e6, mobile: bool = False,
+                 mix: bool = False, weighting: str = "reference"):
+        self.channel = channel.lower()
+        self.nfft = nfft
+        self.sample_rate = sample_rate
+        self.mobile = mobile
+        self.mix = mix
+
+        if self.channel == "mixrayleigh":
+            names: Sequence[str] = ("flat", "etu", "eva", "epa")
+            self._passthrough = np.zeros(len(names), dtype=bool)
+        elif self.channel == "mixall":
+            names = ("awgn", "flat", "etu", "eva", "epa")
+            self._passthrough = np.asarray([True, False, False, False, False])
+        else:
+            names = (self.channel,)
+            self._passthrough = np.asarray([self.channel == "awgn"])
+        profiles = [get_profile(n, sample_rate, weighting) for n in names]
+        self.profiles: list[TapProfile] = profiles
+
+        self.max_taps = max(p.n_taps for p in profiles)
+        self.max_fir = max(p.n_fir for p in profiles)
+        self._coeff = jnp.asarray(np.stack(
+            [_pad_to(p.ch_coeff, (self.max_taps,)) for p in profiles]),
+            dtype=jnp.float32)                      # [P, max_taps]
+        self._alpha = jnp.asarray(np.stack(
+            [_pad_to(p.alpha_matrix, (self.max_taps, self.max_fir))
+             for p in profiles]), dtype=jnp.float32)  # [P, max_taps, max_fir]
+        self._offset = jnp.asarray([p.same_offset for p in profiles],
+                                   dtype=jnp.int32)
+        fd = [p.fd_mobile if mobile else 0.0 for p in profiles]
+        self._fd = jnp.asarray(fd, dtype=jnp.float32)
+        # Python-level: does any frame ever take the Doppler path?
+        self.has_doppler = mobile and any(f > 0.1 for f in fd) and \
+            (self.mix or len(profiles) == 1)
+
+    # -- per-frame static structure -----------------------------------------
+    def _frame_profiles(self, n_frames: int) -> np.ndarray:
+        p = len(self.profiles)
+        if p == 1:
+            return np.zeros(n_frames, dtype=np.int32)
+        return (np.arange(n_frames) % p).astype(np.int32)
+
+    def _frame_doppler_mask(self, n_frames: int, prof_idx: np.ndarray) -> np.ndarray:
+        """Which frames take the Doppler path (static bool mask)."""
+        if not self.mobile:
+            return np.zeros(n_frames, dtype=bool)
+        fd = np.asarray(self._fd)[prof_idx]
+        if self.channel == "mixrayleigh":
+            sel = (np.arange(n_frames) % 3 == 0) & self.mix
+        elif self.channel == "mixall":
+            sel = (np.arange(n_frames) % 4 == 0) & self.mix
+        else:
+            sel = np.ones(n_frames, dtype=bool)
+        return sel & (fd > 0.1)
+
+    # -- main entry ----------------------------------------------------------
+    def __call__(self, key: jax.Array, tx: jnp.ndarray) -> ChannelOut:
+        """Args: tx [B, S, n_sc] complex64 time-domain frames."""
+        b, s, n_sc = tx.shape
+        prof_idx = self._frame_profiles(b)
+        dop_mask = self._frame_doppler_mask(b, prof_idx)
+        prof = jnp.asarray(prof_idx)
+
+        coeff = self._coeff[prof]                  # [B, max_taps]
+        alpha = self._alpha[prof]                  # [B, max_taps, max_fir]
+        offset = self._offset[prof]                # [B]
+        passthrough = jnp.asarray(self._passthrough)[prof]  # [B] bool
+
+        k_static, k_dop = jax.random.split(key)
+
+        # static gains: zck ~ CN(0,1) per frame/tap, broadcast over symbols
+        zr = jax.random.normal(k_static, (b, self.max_taps, 2),
+                               dtype=jnp.float32) / np.sqrt(2.0)
+        zck_static = (zr[..., 0] + 1j * zr[..., 1]).astype(jnp.complex64)
+        zck = jnp.broadcast_to(zck_static[:, None, :], (b, s, self.max_taps))
+
+        if self.has_doppler and dop_mask.any():
+            fd = self._fd[prof]
+            t_sym = n_sc / self.sample_rate
+            t = jnp.arange(s, dtype=jnp.float32) * t_sym
+            zck_dop = jakes_gains(k_dop, fd, t, self.max_taps)
+            zck = jnp.where(jnp.asarray(dop_mask)[:, None, None], zck_dop, zck)
+
+        # AWGN-passthrough frames use a deterministic unit tap
+        unit = jnp.zeros((self.max_taps,), jnp.complex64).at[0].set(1.0)
+        zck = jnp.where(passthrough[:, None, None], unit, zck)
+
+        # FIR kernel per frame/symbol: gt = (zck * coeff) @ alpha
+        a_taps = zck * coeff[:, None, :].astype(jnp.complex64)
+        gt = jnp.einsum("bst,btf->bsf", a_taps,
+                        alpha.astype(jnp.complex64))  # [B, S, max_fir]
+
+        # ground-truth channel DFT per symbol
+        h_freq = jnp.fft.fft(gt, n=self.nfft, axis=-1).astype(jnp.complex64)
+
+        # convolution: frame-level 'same' for static frames
+        flat = tx.reshape(b, s * n_sc)
+        y_static = fir.fir_same_varlen(flat, gt[:, 0, :], offset)
+        y = y_static.reshape(b, s, n_sc)
+
+        if self.has_doppler and dop_mask.any():
+            y_dop = fir.fir_per_symbol(tx, gt, self.max_taps, offset)
+            y = jnp.where(jnp.asarray(dop_mask)[:, None, None], y_dop, y)
+
+        return ChannelOut(y=y.astype(jnp.complex64), h_freq=h_freq)

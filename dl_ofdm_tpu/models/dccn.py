@@ -1,0 +1,102 @@
+"""DCCN receivers (Deep Complex-valued Convolutional Network).
+
+`DCCNReceiver` is the basic learned OFDM receiver — parity with
+`ofdm_dense_rx` (`dev/py/model.py:1222-1292`):
+
+  waveform IQ [B, S, K+CP, 2]
+    -> optional CP strip (cp=False slices the CP off, `model.py:1236-1240`)
+    -> 'fft_like': learned-DFT complex transform K -> nfilter
+       (the reference's (1,K) 'same' complex conv; see ops.ComplexDense for
+       why that conv IS a complex dense matmul)
+    -> 'demodulation': flatten -> Dense(frame_size*2) -> per-symbol 1x1 conv
+       (Dense(2^nbits)) -> leaky_relu -> concat IQ -> Dense(nbits*2)
+    -> per-bit 2-class logits [B, frame_size, nbits, 2].
+
+The model returns logits (softmax lives in the loss/metric layer; the
+reference's in-graph softmax-before-cross-entropy quirk is reproduced there
+when `TrainConfig.double_softmax` is set).
+
+`DNNReceiver` is the all-dense ablation, parity with `ofdm_DNN_rx`
+(`dev/py/model.py:1539-1625`).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from dl_ofdm_tpu.ops.complex_ops import ComplexDense
+from dl_ofdm_tpu.ops.norms import leaky_relu
+
+
+@dataclasses.dataclass
+class RxOutputs:
+    """Typed replacement of the reference's named-tensor graph ABI
+    (`dev/py/ofdmreceiver_np.py:172-183`)."""
+    logits: jnp.ndarray          # [B, frame_size, nbits, 2]
+    probs: jnp.ndarray           # softmax of logits (the reference 'output')
+    fft_out: jnp.ndarray | None  # [B, S, F, 2] learned-transform activations
+    equalized: jnp.ndarray | None = None   # [B, S, n_sc, 2]
+    snr_est_db: jnp.ndarray | None = None  # [B, 1]
+    chest: jnp.ndarray | None = None       # [B, S, K, 2] channel estimate
+
+
+class DCCNReceiver(nn.Module):
+    nbits: int
+    nfft: int
+    cp_len: int
+    nfilter: int
+    frame_size: int
+    keep_cp: bool = True          # FLAGS.cp: receiver sees CP (exploitation)
+    recombine: str = "true"       # 'reference' reproduces the sign quirk
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray):
+        b, s = x.shape[0], x.shape[1]
+        if not self.keep_cp:
+            x = x[:, :, self.cp_len: self.cp_len + self.nfft, :]
+        # 'fft_like' — learned DFT replacement
+        fft_out = ComplexDense(self.nfilter, recombine=self.recombine,
+                               name="fft_like")(x)          # [B, S, F, 2]
+        # 'demodulation'
+        out = fft_out.reshape(b, s * self.nfilter * 2)
+        out = nn.Dense(self.frame_size * 2, name="Dense_extract")(out)
+        out_iq = out.reshape(b, 1, self.frame_size, 2)
+        h = nn.Dense(2 ** self.nbits, name="Dense_conv1x1")(out_iq)
+        h = leaky_relu(h)
+        h = jnp.concatenate([h, out_iq], axis=-1)
+        h = leaky_relu(nn.Dense(self.nbits * 2, name="Dense_llr")(h))
+        logits = h.reshape(b, self.frame_size, self.nbits, 2)
+        return logits, fft_out
+
+
+class DNNReceiver(nn.Module):
+    """All-dense FC ablation receiver (`ofdm_DNN_rx`, `model.py:1539-1625`):
+    per-symbol dense stack K*2 -> F*2 -> 250 -> 125 -> data*2 -> data*2 ->
+    nbits*2, all leaky_relu."""
+    nbits: int
+    nfft: int
+    cp_len: int
+    nfilter: int
+    frame_size: int
+    keep_cp: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray):
+        b, s = x.shape[0], x.shape[1]
+        if not self.keep_cp:
+            x = x[:, :, self.cp_len: self.cp_len + self.nfft, :]
+        k = x.shape[2]
+        out = x.reshape(b, s, k * 2)
+        for width in (self.nfilter * 2, 250, 125, self.frame_size * 2,
+                      self.frame_size * 2):
+            out = leaky_relu(nn.Dense(width)(out))
+        out = out.reshape(b, s, self.frame_size, 2)
+        out = leaky_relu(nn.Dense(self.nbits * 2)(out))
+        # reference reshapes [-1, data_ofdm, nbits, 2]: symbol axis folds into
+        # batch only when s == 1; here we reduce across symbols by mean to keep
+        # the declared output contract for any s.
+        out = out.mean(axis=1)
+        logits = out.reshape(b, self.frame_size, self.nbits, 2)
+        return logits, None

@@ -1,0 +1,169 @@
+"""DCCN equalizer zoo — channel-estimation + equalization subnetworks.
+
+One parameterized flax module reproduces the reference's family of equalizer
+graph builders (`dev/py/model.py:349-1218`), dispatched by the same `--opt`
+ids (`dev/py/ofdmreceiver_np_mp.py:292-312`):
+
+  opt 0 (default), 9, 10 : equalizer_ofdm       (`model.py:349-478`)
+  opt 1                  : equalizer_nocconv    (`model.py:482-609`)
+  opt 2                  : equalizer_noresdl    (`model.py:612-714`)
+  opt 3                  : equalizer_dnnE       (`model.py:953-1084`)
+  opt 4                  : equalizer_noresdl2   (`model.py:718-826`)
+  opt 5                  : equalizer_noresdl4   (`model.py:829-950`)
+  opt 6                  : 'doppler' — referenced but never defined in the
+                           reference (NameError at `ofdmreceiver_np_mp.py:306`);
+                           here aliased to the default variant so the option
+                           is usable instead of crashing.
+  opt 7                  : equalizer_separateIQ (`model.py:1088-1218`)
+
+Shared skeleton (the variants toggle pieces of it):
+  layer_norm -> [CP strip] -> Dense(K*2) -> to-frequency transform ->
+  pilot extraction Dense(pilot_size*2) -> interpolation Dense stack ->
+  refinement blocks (tanh Dense + (n_sym,K) complex conv) -> chest ->
+  equalize eq = Y * conj(H)/|H| -> optional autocorrelation feature ->
+  back-to-time transform -> Dense(n_sc*2); plus a pilot-moment SNR estimate.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from dl_ofdm_tpu.ops.complex_ops import (ComplexConv2d, ComplexDense,
+                                         complex_to_iq, iq_to_complex)
+from dl_ofdm_tpu.ops.norms import frame_layer_norm
+
+
+@dataclasses.dataclass(frozen=True)
+class EqSpec:
+    """Structural switches distinguishing the equalizer variants."""
+    to_freq: str = "cconv"        # 'cconv' | 'dense' | 'vector'
+    pre_dense_acts: tuple = (None, None)  # interpolation stack activations
+    n_blocks: int = 1             # refinement blocks
+    block_conv: str = "cconv"     # 'cconv' | 'vector' | 'none'
+    back_to_time: str = "cconv"   # 'cconv' | 'vector' | 'ifft' | 'dense'
+    use_corr: bool = True         # concat autocorrelation feature
+    cmode: str = "exact"          # complex-op mode for this variant
+
+
+EQUALIZER_REGISTRY: dict[int, EqSpec] = {
+    0: EqSpec(),
+    1: EqSpec(to_freq="dense", n_blocks=1, block_conv="cconv",
+              back_to_time="dense", use_corr=False),
+    2: EqSpec(pre_dense_acts=(None,), n_blocks=0, back_to_time="ifft",
+              use_corr=False),
+    3: EqSpec(to_freq="dense", pre_dense_acts=("tanh", "tanh"), n_blocks=2,
+              block_conv="none", back_to_time="dense", use_corr=False),
+    4: EqSpec(pre_dense_acts=(None, "tanh"), n_blocks=0, back_to_time="ifft",
+              use_corr=False),
+    5: EqSpec(pre_dense_acts=(None, "tanh"), n_blocks=2, block_conv="none",
+              back_to_time="ifft", use_corr=False),
+    6: EqSpec(),   # 'doppler': see module docstring
+    7: EqSpec(to_freq="vector", pre_dense_acts=("tanh", "tanh"), n_blocks=1,
+              block_conv="vector", back_to_time="vector", cmode="vector"),
+    9: EqSpec(),
+    10: EqSpec(),
+}
+
+
+class Equalizer(nn.Module):
+    """(waveform IQ) -> (equalized IQ, snr_db estimate, channel estimate)."""
+
+    nfft: int
+    cp_len: int
+    nsymbol: int
+    pilot_size: int               # frame-level pilot count (plan.pilot_size)
+    pilot_carriers: tuple         # per-symbol pilot comb SC indices
+    spec: EqSpec = EqSpec()
+    keep_cp: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray):
+        spec = self.spec
+        k, s = self.nfft, self.nsymbol
+        b = x.shape[0]
+        n_sc = x.shape[2]          # K + CP (receiver input width)
+
+        h = frame_layer_norm(x)
+        if not self.keep_cp:
+            h = h[:, :, self.cp_len: self.cp_len + k, :]
+        h = h.reshape(b, s, -1)
+        h = nn.Dense(k * 2, name="Dense_in")(h)          # [B, S, K*2]
+        h = h.reshape(b, s, k, 2)
+
+        # -- to frequency domain ------------------------------------------
+        if spec.to_freq == "cconv":
+            freq = ComplexDense(k, mode="exact", name="ToFreq")(h)
+        elif spec.to_freq == "vector":
+            freq = ComplexDense(k, mode="vector", name="ToFreq")(h)
+        elif spec.to_freq == "dense":
+            freq = nn.Dense(k * 2, name="Dense_tofreq")(
+                h.reshape(b, s, k * 2)).reshape(b, s, k, 2)
+        else:
+            raise ValueError(spec.to_freq)
+        input_freq = freq                                  # [B, S, K, 2]
+
+        # -- pilot extraction + interpolation ------------------------------
+        c = freq.reshape(b, s * k * 2)
+        c = nn.Dense(self.pilot_size * 2, name="Dense_pilot")(c)
+        for i, act in enumerate(spec.pre_dense_acts):
+            c = nn.Dense(s * k * 2, name=f"Dense_interp{i}")(c)
+            if act == "tanh":
+                c = jnp.tanh(c)
+
+        # -- refinement blocks --------------------------------------------
+        for i in range(spec.n_blocks):
+            c = nn.Dense(s * k * 2, name=f"Dense_block{i}")(c.reshape(b, -1))
+            c = jnp.tanh(c)
+            if spec.block_conv != "none":
+                blk = c.reshape(b, s, k, 1, 2)
+                mode = "vector" if spec.block_conv == "vector" else "exact"
+                blk = ComplexConv2d(1, (s, k), padding="same", mode=mode,
+                                    name=f"BlockConv{i}")(blk)
+                c = blk.reshape(b, s * k * 2)
+        chest_iq = c.reshape(b, s, k, 2)
+        chest = iq_to_complex(chest_iq)                    # [B, S, K]
+
+        # -- equalization: eq = Y * conj(H) / |H| --------------------------
+        y_f = iq_to_complex(input_freq)
+        h_norm = jnp.conj(chest) / (jnp.abs(chest) + 1e-12)
+        eq_f = y_f * h_norm                                # [B, S, K]
+        eq_freq_iq = complex_to_iq(eq_f)
+
+        # -- autocorrelation feature ---------------------------------------
+        feats = []
+        if spec.use_corr:
+            corr = complex_to_iq(eq_f * jnp.conj(eq_f))
+            cmode = "vector" if spec.cmode == "vector" else "exact"
+            corr = ComplexDense(k, mode=cmode, name="CorrT")(corr)
+            feats.append(corr)
+
+        # -- back to time domain -------------------------------------------
+        if spec.back_to_time in ("cconv", "vector"):
+            mode = "vector" if spec.back_to_time == "vector" else "exact"
+            eq_t = ComplexDense(k, mode=mode, name="ToTime")(eq_freq_iq)
+        elif spec.back_to_time == "ifft":
+            eq_t = complex_to_iq(jnp.fft.ifft(eq_f, axis=-1).astype(jnp.complex64))
+        elif spec.back_to_time == "dense":
+            eq_t = nn.Dense(k * 2, name="Dense_totime")(
+                eq_freq_iq.reshape(b, s, k * 2)).reshape(b, s, k, 2)
+        else:
+            raise ValueError(spec.back_to_time)
+        feats.insert(0, eq_t)
+
+        out = jnp.concatenate(feats, axis=-1).reshape(b, s, -1)
+        out = nn.Dense(n_sc * 2, name="Dense_out")(out)
+        equalized = out.reshape(b, s, n_sc, 2)
+
+        # -- SNR estimate from equalized pilot subcarriers -----------------
+        pilots = eq_freq_iq[:, :, np.asarray(self.pilot_carriers), :]
+        p_pow = jnp.sum(pilots**2, axis=-1).reshape(b, -1)  # |x|^2 [B, S*P]
+        sig = jnp.mean(p_pow, axis=1, keepdims=True)
+        noi = jnp.var(p_pow, axis=1, keepdims=True)
+        snr_est = jnp.clip(sig / (noi + 1e-12), 1e-3, 1e4)
+        snr_db = jnp.log(snr_est) / jnp.log(10.0)          # reference quirk:
+        # log10 of the ratio without the x10 dB factor (`model.py:474`).
+
+        return equalized, snr_db, chest_iq

@@ -1,0 +1,186 @@
+"""Complex-valued NN layers as (re, im) real-pair algebra -> MXU matmuls.
+
+TPU-first re-design of the reference complex-op library (`dev/py/complex.py`).
+The key structural insight: every "(1, K) complex convolution" in the reference
+models operates over an axis of size 1 or with 'valid' K-over-K extent, so only
+one kernel tap ever touches data — each such layer IS a complex dense transform
+K -> F (the learned-DFT). Here they are implemented directly as complex
+matmuls ([.., K] x [K, F] in four real GEMMs), which is the native MXU shape,
+instead of the reference's conv3d contortion (`complex.py:140-196`).
+
+Layer modes mirror the reference's exact/approximate ablation family:
+  * mode='exact'   — true complex arithmetic (layers_conv2d_complex intent);
+  * mode='vector'  — unconstrained 2x2 real mixing of (re, im)
+                     (layers_conv2d_vector, `complex.py:199-255`);
+  * mode='streams' — independent real maps for re and im streams
+                     (layers_conv2d_streams / layers_dense_streams,
+                     `complex.py:258-356`).
+
+`recombine` selects the imaginary-part sign convention for 'exact' mode:
+  * 'true'      — im = re*wi + im*wr (mathematically correct complex product;
+                  can represent the exact DFT);
+  * 'reference' — im = re*wi - im*wr, reproducing the reference's recombination
+                  `conv_im = conv[1] - conv[2]` (`complex.py:187-188`) — a
+                  sign quirk that yields the family [[a,-b],[b,-a]] instead of
+                  [[a,-b],[b,a]]; kept selectable for ablation parity.
+
+All layers take and return IQ-last real tensors [..., 2].
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def iq_to_complex(x: jnp.ndarray) -> jnp.ndarray:
+    return (x[..., 0] + 1j * x[..., 1]).astype(jnp.complex64)
+
+
+def complex_to_iq(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.stack([jnp.real(x), jnp.imag(x)], axis=-1)
+
+
+def complex_mul(a_iq: jnp.ndarray, b_iq: jnp.ndarray) -> jnp.ndarray:
+    """Elementwise complex product of IQ pairs."""
+    ar, ai = a_iq[..., 0], a_iq[..., 1]
+    br, bi = b_iq[..., 0], b_iq[..., 1]
+    return jnp.stack([ar * br - ai * bi, ar * bi + ai * br], axis=-1)
+
+
+class ComplexDense(nn.Module):
+    """Complex linear transform on the second-to-last axis: [..., K, 2] -> [..., F, 2].
+
+    This is the MXU-native realization of the reference's learned-DFT layer
+    ('fft_like' complex conv, `dev/py/model.py:1245-1264`) and of the
+    to/from-frequency-domain convs in the equalizer zoo
+    (`dev/py/model.py:377-379,442`).
+    """
+
+    features: int
+    mode: str = "exact"            # exact | vector | streams
+    recombine: str = "true"        # true | reference  (exact mode only)
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if x.shape[-1] != 2:
+            raise ValueError("ComplexDense expects IQ-last input [..., K, 2]")
+        k = x.shape[-2]
+        f = self.features
+        init = nn.initializers.lecun_normal()
+        xr, xi = x[..., 0], x[..., 1]
+        if self.mode == "exact":
+            wr = self.param("wr", init, (k, f))
+            wi = self.param("wi", init, (k, f))
+            yr = xr @ wr - xi @ wi
+            if self.recombine == "true":
+                yi = xr @ wi + xi @ wr
+            elif self.recombine == "reference":
+                yi = xr @ wi - xi @ wr
+            else:
+                raise ValueError(f"Unknown recombine {self.recombine!r}")
+            if self.use_bias:
+                if self.recombine == "reference":
+                    # conv3d shares one bias per channel across IQ depth; after
+                    # the reference recombination this collapses to +-b.
+                    b = self.param("b", nn.initializers.zeros, (f,))
+                    yr, yi = yr + b, yi - b
+                else:
+                    br = self.param("br", nn.initializers.zeros, (f,))
+                    bi = self.param("bi", nn.initializers.zeros, (f,))
+                    yr, yi = yr + br, yi + bi
+        elif self.mode == "vector":
+            # unconstrained real map [K, 2] -> [F, 2]
+            w = self.param("w", init, (2 * k, 2 * f))
+            flat = jnp.concatenate([xr, xi], axis=-1) @ w
+            yr, yi = flat[..., :f], flat[..., f:]
+            if self.use_bias:
+                b = self.param("b", nn.initializers.zeros, (2 * f,))
+                yr, yi = yr + b[:f], yi + b[f:]
+        elif self.mode == "streams":
+            wr = self.param("wr", init, (k, f))
+            wi = self.param("wi", init, (k, f))
+            yr, yi = xr @ wr, xi @ wi
+            if self.use_bias:
+                br = self.param("br", nn.initializers.zeros, (f,))
+                bi = self.param("bi", nn.initializers.zeros, (f,))
+                yr, yi = yr + br, yi + bi
+        else:
+            raise ValueError(f"Unknown mode {self.mode!r}")
+        return jnp.stack([yr, yi], axis=-1)
+
+
+def _conv2d(x: jnp.ndarray, w: jnp.ndarray, padding: str) -> jnp.ndarray:
+    """Real 2D conv, NHWC x HWIO -> NHWC."""
+    return jax.lax.conv_general_dilated(
+        x, w, window_strides=(1, 1), padding=padding.upper(),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+class ComplexConv2d(nn.Module):
+    """Genuine complex 2D convolution over (symbol, subcarrier) axes.
+
+    Used for the reference's (n_sym, K) 'same' refinement filters
+    (`dev/py/model.py:426,564`), the only layers where an actual spatial
+    convolution (not a dense transform) occurs.  Input [B, S, K, C, 2].
+    """
+
+    features: int
+    kernel: Tuple[int, int]
+    padding: str = "same"
+    mode: str = "exact"
+    recombine: str = "true"
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if x.ndim == 4:            # [B, S, K, 2] -> single channel
+            x = x[:, :, :, None, :]
+            squeeze = True
+        else:
+            squeeze = False
+        b, s, k, c, _ = x.shape
+        f = self.features
+        kh, kw = self.kernel
+        init = nn.initializers.lecun_normal()
+        xr, xi = x[..., 0].reshape(b, s, k, c), x[..., 1].reshape(b, s, k, c)
+        if self.mode == "exact":
+            wr = self.param("wr", init, (kh, kw, c, f))
+            wi = self.param("wi", init, (kh, kw, c, f))
+            yr = _conv2d(xr, wr, self.padding) - _conv2d(xi, wi, self.padding)
+            if self.recombine == "true":
+                yi = _conv2d(xr, wi, self.padding) + _conv2d(xi, wr, self.padding)
+            else:
+                yi = _conv2d(xr, wi, self.padding) - _conv2d(xi, wr, self.padding)
+            if self.use_bias:
+                if self.recombine == "reference":
+                    bias = self.param("b", nn.initializers.zeros, (f,))
+                    yr, yi = yr + bias, yi - bias
+                else:
+                    br = self.param("br", nn.initializers.zeros, (f,))
+                    bi = self.param("bi", nn.initializers.zeros, (f,))
+                    yr, yi = yr + br, yi + bi
+        elif self.mode == "vector":
+            w = self.param("w", init, (kh, kw, 2 * c, 2 * f))
+            stacked = jnp.concatenate([xr, xi], axis=-1)
+            y = _conv2d(stacked, w, self.padding)
+            if self.use_bias:
+                y = y + self.param("b", nn.initializers.zeros, (2 * f,))
+            yr, yi = y[..., :f], y[..., f:]
+        elif self.mode == "streams":
+            wr = self.param("wr", init, (kh, kw, c, f))
+            wi = self.param("wi", init, (kh, kw, c, f))
+            yr, yi = _conv2d(xr, wr, self.padding), _conv2d(xi, wi, self.padding)
+            if self.use_bias:
+                br = self.param("br", nn.initializers.zeros, (f,))
+                bi = self.param("bi", nn.initializers.zeros, (f,))
+                yr, yi = yr + br, yi + bi
+        else:
+            raise ValueError(f"Unknown mode {self.mode!r}")
+        out = jnp.stack([yr, yi], axis=-1)  # [B, S', K', F, 2]
+        if squeeze and f == 1:
+            out = out[:, :, :, 0, :]
+        return out

@@ -1,0 +1,182 @@
+"""Jitted end-to-end training/eval: the whole link is ONE XLA program.
+
+TPU-native re-design of the reference training loop
+(`dev/py/ofdmreceiver_np.py:194-283`): where the reference generates bits,
+waveform, fading and noise on the host each epoch and feeds minibatches
+through a feed-dict (`:230-234`), here a single jitted `train_step` draws the
+bits with `jax.random`, modulates, fades, adds noise, runs the receiver,
+computes loss/metrics and applies the optimizer update — no host<->device
+copies in steady state.
+
+Optimizer parity: Adam with staircase exponential LR decay
+(0.001, x0.98 every 500 steps — `ofdmreceiver_np.py:185-189`); total loss is
+CE + stop_grad(BER) * reg_coeff * L2(reg'd params); the reference also adds
+1.0 * log(BER) through a non-differentiable confusion-matrix path, so (as
+there) gradients flow only through CE + regularization — the log-BER term is
+reported as a metric (`SURVEY.md` section 7.3).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from dl_ofdm_tpu.channel.awgn import awgn_channel
+from dl_ofdm_tpu.channel.rayleigh import RayleighChannel
+from dl_ofdm_tpu.config import OFDMConfig, TrainConfig
+from dl_ofdm_tpu.models.dccn import DCCNReceiver
+from dl_ofdm_tpu.ofdm.plan import build_plan
+from dl_ofdm_tpu.ofdm.tx import iq_split, ofdm_modulate_frames
+from dl_ofdm_tpu.ops.norms import batch_norm_ref
+from dl_ofdm_tpu.train import metrics as M
+
+Params = Any
+
+
+@dataclasses.dataclass
+class TrainState:
+    params: Params
+    opt_state: Any
+    step: jnp.ndarray
+
+    def tree_flatten(self):
+        return (self.params, self.opt_state, self.step), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+jax.tree_util.register_pytree_node(
+    TrainState, TrainState.tree_flatten, TrainState.tree_unflatten)
+
+
+def make_optimizer(tc: TrainConfig) -> optax.GradientTransformation:
+    schedule = optax.exponential_decay(
+        init_value=tc.init_learning, transition_steps=tc.lr_decay_steps,
+        decay_rate=tc.lr_decay_rate, staircase=True)
+    return optax.adam(learning_rate=schedule)
+
+
+class Trainer:
+    """End-to-end trainer for the basic DCCN receiver (AWGN or fading)."""
+
+    def __init__(self, cfg: OFDMConfig, tc: TrainConfig, channel: str = "AWGN",
+                 mobile: bool = False, mix: bool = False,
+                 model: Optional[Any] = None,
+                 param_label_fn: Optional[Callable] = None):
+        self.cfg, self.tc = cfg, tc
+        self.plan = build_plan(cfg)
+        self.model = model if model is not None else DCCNReceiver(
+            nbits=cfg.nbits, nfft=cfg.nfft, cp_len=self.plan.cp_len,
+            nfilter=cfg.nfilter, frame_size=self.plan.frame_size,
+            keep_cp=cfg.cp)
+        self.channel = RayleighChannel(
+            channel=channel, nfft=cfg.nfft,
+            sample_rate=self.plan.sample_rate, mobile=mobile, mix=mix)
+        self.tx = partial(ofdm_modulate_frames, plan=self.plan)
+        self.optimizer = make_optimizer(tc)
+        self.batch_frames = max(1, tc.batch_size // cfg.nsymbol)
+        self._grad_mask = None  # set by transfer learning
+
+    # -- state ---------------------------------------------------------------
+    def init_state(self, key: jax.Array) -> TrainState:
+        dummy = jnp.zeros(
+            (2, self.plan.nsymbol, self.plan.samples_per_symbol, 2),
+            jnp.float32)
+        params = self.model.init(key, dummy)["params"]
+        return TrainState(params=params,
+                          opt_state=self.optimizer.init(params),
+                          step=jnp.zeros((), jnp.int32))
+
+    # -- data pipeline (on device) ------------------------------------------
+    def synthesize(self, key: jax.Array, n_frames: int, snr_db: jnp.ndarray):
+        """bits -> waveform -> fading -> AWGN -> normalized receiver input."""
+        kb, kc, kn = jax.random.split(key, 3)
+        bits = jax.random.bernoulli(
+            kb, 0.5, (n_frames, self.plan.frame_size, self.cfg.nbits)
+        ).astype(jnp.int32)
+        wf = self.tx(bits)                       # [B, S, K+CP] complex
+        ch = self.channel(kc, wf)
+        y_iq, noise_pwr = awgn_channel(kn, iq_split(ch.y), snr_db)
+        rx_in = batch_norm_ref(y_iq)             # the reference 'input' tensor
+        return bits, rx_in, ch.h_freq, noise_pwr
+
+    # -- loss ----------------------------------------------------------------
+    def _loss_fn(self, params, bits, rx_in):
+        logits, _ = self.model.apply({"params": params}, rx_in)
+        ce = M.cross_entropy(logits, bits, self.tc.double_softmax)
+        reg = M.l2_regularization(params)
+        pred = M.bit_predictions(logits)
+        conf = M.confusion_matrix(bits, pred)
+        log_ber, ber = M.ber_from_confusion(conf)
+        loss = ce + jax.lax.stop_gradient(ber) * self.tc.reg_coeff * reg
+        aux = {"ce": ce, "ber": ber, "log_ber": log_ber, "conf": conf,
+               "total_loss": ce + ber * self.tc.reg_coeff * reg + log_ber}
+        return loss, aux
+
+    # -- steps ---------------------------------------------------------------
+    @partial(jax.jit, static_argnums=0)
+    def train_step(self, state: TrainState, key: jax.Array,
+                   snr_db: jnp.ndarray):
+        bits, rx_in, _, noise_pwr = self.synthesize(
+            key, self.batch_frames, snr_db)
+        (loss, aux), grads = jax.value_and_grad(self._loss_fn, has_aux=True)(
+            state.params, bits, rx_in)
+        if self._grad_mask is not None:
+            grads = jax.tree.map(lambda g, m: g * m, grads, self._grad_mask)
+        updates, opt_state = self.optimizer.update(
+            grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        aux.update(loss=loss, noise_power=noise_pwr)
+        return TrainState(params, opt_state, state.step + 1), aux
+
+    @partial(jax.jit, static_argnums=(0, 3))
+    def eval_step(self, params, key: jax.Array, n_frames: int,
+                  snr_db: jnp.ndarray):
+        bits, rx_in, _, noise_pwr = self.synthesize(key, n_frames, snr_db)
+        _, aux = self._loss_fn(params, bits, rx_in)
+        aux["noise_power"] = noise_pwr
+        return aux
+
+    # -- epoch driver (mirrors reference epoch/early-stop protocol) ----------
+    def fit(self, seed: int = None, max_epochs: int = None,
+            log_fn=print) -> tuple[TrainState, dict]:
+        import numpy as np
+        tc = self.tc
+        seed = tc.seed if seed is None else seed
+        max_epochs = tc.max_epoch_num if max_epochs is None else max_epochs
+        key = jax.random.PRNGKey(seed)
+        key, k0 = jax.random.split(key)
+        state = self.init_state(k0)
+        steps_per_epoch = max(1, tc.frames_per_epoch // self.batch_frames)
+        best_loss, best_epoch, best_params = np.inf, 0, state.params
+        snr = jnp.full((self.batch_frames,), tc.snr, jnp.float32)
+        history = []
+        for epoch in range(max_epochs):
+            losses = []
+            for _ in range(steps_per_epoch):
+                key, k = jax.random.split(key)
+                state, aux = self.train_step(state, k, snr)
+                losses.append(aux["ce"])
+            epoch_loss = float(jnp.mean(jnp.stack(losses)))
+            key, k = jax.random.split(key)
+            val = self.eval_step(state.params, k, 1024,
+                                 jnp.full((1024,), tc.snr, jnp.float32))
+            history.append({"epoch": epoch, "train_loss": epoch_loss,
+                            "val_ber": float(val["ber"]),
+                            "val_loss": float(val["ce"])})
+            log_fn(f"epoch {epoch}: train_ce={epoch_loss:.5f} "
+                   f"val_ber={float(val['ber']):.6f}")
+            if epoch_loss < best_loss:
+                best_loss, best_epoch = epoch_loss, epoch
+                best_params = state.params
+            if epoch - tc.early_stop > best_epoch:
+                break
+        state = TrainState(best_params, state.opt_state, state.step)
+        return state, {"best_epoch": best_epoch, "best_loss": best_loss,
+                       "history": history}

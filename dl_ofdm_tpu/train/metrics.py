@@ -1,0 +1,62 @@
+"""Losses and metrics (reference parity: `dev/py/util.py:37-48`,
+`dev/py/ofdmreceiver_np.py:154-171`)."""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def confusion_matrix(y_bits: jnp.ndarray, pred_bits: jnp.ndarray) -> jnp.ndarray:
+    """2x2 bit confusion matrix [true, pred] (tf.confusion_matrix parity)."""
+    y = y_bits.reshape(-1).astype(jnp.int32)
+    p = pred_bits.reshape(-1).astype(jnp.int32)
+    idx = y * 2 + p
+    counts = jnp.bincount(idx, length=4)
+    return counts.reshape(2, 2)
+
+
+def ber_from_confusion(conf: jnp.ndarray):
+    """(log BER, linear BER) from a 2x2 confusion matrix (`util.py:44-48`)."""
+    total = jnp.sum(conf)
+    errors = conf[0, 1] + conf[1, 0]
+    ber = errors / jnp.maximum(total, 1)
+    return jnp.log(jnp.maximum(ber, 1e-12)), ber.astype(jnp.float32)
+
+
+def cross_entropy(logits: jnp.ndarray, y_bits: jnp.ndarray,
+                  double_softmax: bool = False) -> jnp.ndarray:
+    """Mean per-bit 2-class cross entropy.
+
+    `double_softmax=True` reproduces the reference quirk of applying softmax in
+    the model and then softmax-cross-entropy on the softmaxed values
+    (`ofdmreceiver_np.py:155-159`); default treats `logits` as true logits.
+    """
+    z = logits.reshape(-1, 2)
+    if double_softmax:
+        z = jax.nn.softmax(z, axis=-1)
+    y = y_bits.reshape(-1)
+    logp = jax.nn.log_softmax(z, axis=-1)
+    onehot = jax.nn.one_hot(y, 2, dtype=logp.dtype)
+    return -jnp.mean(jnp.sum(onehot * logp, axis=-1))
+
+
+def l2_regularization(params, scale: float = 0.01,
+                      match: str = "Dense") -> jnp.ndarray:
+    """Sum of scale*||w||^2 over params of modules whose path contains `match`.
+
+    Mirrors the reference's `tf.keras.regularizers.l2(l=0.01)` attached to the
+    kernel and bias of every `tf.layers.dense` (complex-conv weights carried no
+    regularizer), collected via REGULARIZATION_LOSSES
+    (`ofdmreceiver_np.py:161-171`).
+    """
+    leaves_with_path = jax.tree_util.tree_leaves_with_path(params)
+    total = 0.0
+    for path, leaf in leaves_with_path:
+        path_str = "/".join(str(getattr(p, "key", p)) for p in path)
+        if match in path_str:
+            total = total + scale * jnp.sum(leaf * leaf)
+    return jnp.asarray(total)
+
+
+def bit_predictions(logits: jnp.ndarray) -> jnp.ndarray:
+    return jnp.argmax(logits, axis=-1).astype(jnp.int32)

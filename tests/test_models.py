@@ -1,0 +1,102 @@
+"""Model shape/structure tests: DCCN receiver, equalizer zoo, composition."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dl_ofdm_tpu.config import OFDMConfig
+from dl_ofdm_tpu.models.dccn import DCCNReceiver
+from dl_ofdm_tpu.models.equalizers import EQUALIZER_REGISTRY, Equalizer
+from dl_ofdm_tpu.models.receiver import EqualizedReceiver
+from dl_ofdm_tpu.ofdm.plan import build_plan
+from dl_ofdm_tpu.ops.complex_ops import ComplexDense, iq_to_complex, complex_to_iq
+
+
+def _mk_input(plan, b=3):
+    rng = np.random.default_rng(0)
+    return jnp.asarray(rng.normal(
+        size=(b, plan.nsymbol, plan.samples_per_symbol, 2)), jnp.float32)
+
+
+@pytest.mark.parametrize("nbits", [1, 4])
+@pytest.mark.parametrize("keep_cp", [True, False])
+def test_dccn_output_shape(nbits, keep_cp):
+    cfg = OFDMConfig(nbits=nbits, cp=keep_cp)
+    plan = build_plan(cfg)
+    model = DCCNReceiver(nbits=nbits, nfft=cfg.nfft, cp_len=plan.cp_len,
+                         nfilter=cfg.nfilter, frame_size=plan.frame_size,
+                         keep_cp=keep_cp)
+    x = _mk_input(plan)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    logits, fft_out = model.apply(variables, x)
+    assert logits.shape == (3, plan.frame_size, nbits, 2)
+    assert fft_out.shape == (3, plan.nsymbol, cfg.nfilter, 2)
+    # fft_like param is the learned-DFT matrix [K_in, F]
+    k_in = plan.samples_per_symbol if keep_cp else cfg.nfft
+    assert variables["params"]["fft_like"]["wr"].shape == (k_in, cfg.nfilter)
+
+
+def test_complex_dense_represents_dft():
+    """'true' recombination can express the exact DFT; sanity-check by
+    setting weights to the DFT matrix and comparing with jnp.fft.fft."""
+    k = 16
+    dft = np.exp(-2j * np.pi * np.outer(np.arange(k), np.arange(k)) / k)
+    layer = ComplexDense(k, use_bias=False)
+    x = np.random.default_rng(1).normal(size=(5, k, 2)).astype(np.float32)
+    params = {"params": {"wr": jnp.asarray(dft.real, jnp.float32),
+                         "wi": jnp.asarray(dft.imag, jnp.float32)}}
+    y = layer.apply(params, jnp.asarray(x))
+    want = np.fft.fft(x[..., 0] + 1j * x[..., 1])
+    np.testing.assert_allclose(np.asarray(iq_to_complex(y)), want, atol=1e-4)
+
+
+def test_complex_dense_reference_recombine_differs():
+    k = 8
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(2, k, 2)), jnp.float32)
+    key = jax.random.PRNGKey(0)
+    p_true = ComplexDense(k, recombine="true").init(key, x)
+    y_true = ComplexDense(k, recombine="true").apply(p_true, x)
+    # same weights, reference recombination: im part sign-flips the x_im term
+    wr = p_true["params"]["wr"]; wi = p_true["params"]["wi"]
+    p_ref = {"params": {"wr": wr, "wi": wi,
+                        "b": jnp.zeros(k)}}
+    y_ref = ComplexDense(k, recombine="reference").apply(p_ref, x)
+    xr, xi = x[..., 0], x[..., 1]
+    np.testing.assert_allclose(np.asarray(y_ref[..., 0]),
+                               np.asarray(xr @ wr - xi @ wi), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(y_ref[..., 1]),
+                               np.asarray(xr @ wi - xi @ wr), atol=1e-5)
+    assert np.abs(np.asarray(y_true[..., 1] - y_ref[..., 1])).max() > 1e-3
+
+
+@pytest.mark.parametrize("opt", sorted(EQUALIZER_REGISTRY))
+def test_equalizer_variants_shapes(opt):
+    cfg = OFDMConfig()
+    plan = build_plan(cfg)
+    model = Equalizer(nfft=cfg.nfft, cp_len=plan.cp_len, nsymbol=plan.nsymbol,
+                      pilot_size=plan.pilot_size,
+                      pilot_carriers=tuple(plan.pilot_carriers),
+                      spec=EQUALIZER_REGISTRY[opt])
+    x = _mk_input(plan, b=2)
+    params = model.init(jax.random.PRNGKey(opt), x)
+    eq, snr_db, chest = model.apply(params, x)
+    assert eq.shape == (2, plan.nsymbol, plan.samples_per_symbol, 2)
+    assert snr_db.shape == (2, 1)
+    assert chest.shape == (2, plan.nsymbol, cfg.nfft, 2)
+    assert np.isfinite(np.asarray(eq)).all()
+
+
+def test_equalized_receiver_composition():
+    cfg = OFDMConfig()
+    plan = build_plan(cfg)
+    model = EqualizedReceiver(
+        nbits=cfg.nbits, nfft=cfg.nfft, cp_len=plan.cp_len,
+        nfilter=cfg.nfilter, frame_size=plan.frame_size,
+        nsymbol=plan.nsymbol, pilot_size=plan.pilot_size,
+        pilot_carriers=tuple(plan.pilot_carriers))
+    x = _mk_input(plan, b=2)
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    assert set(params.keys()) == {"Equalizer", "receiver"}
+    logits, fft_out, eq, snr, chest = model.apply({"params": params}, x)
+    assert logits.shape == (2, plan.frame_size, cfg.nbits, 2)

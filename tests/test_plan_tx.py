@@ -1,0 +1,91 @@
+"""Subcarrier plan + OFDM TX parity against an independent NumPy oracle that
+restates the reference equations (`/root/reference/dev/py/ofdm.py:198-380`)."""
+import numpy as np
+import pytest
+
+from dl_ofdm_tpu.config import OFDMConfig
+from dl_ofdm_tpu.ofdm.constellation import _table_np
+from dl_ofdm_tpu.ofdm.plan import build_plan
+from dl_ofdm_tpu.ofdm.tx import ofdm_modulate_frames, iq_split
+
+
+def test_lte_plan_derived_constants():
+    """Known derived values for nfft=64 / lte / longcp (SURVEY.md C3)."""
+    plan = build_plan(OFDMConfig())
+    assert plan.cp_len == 16
+    assert plan.n_pilot == 8
+    assert plan.n_guard == 14
+    assert plan.n_dc == 2
+    assert plan.frame_size == 320
+    assert plan.pilot_size == 16
+    assert plan.samples_per_symbol == 80
+    assert plan.sample_rate == 0.96e6
+    # pilots live in symbols 0 and 4 only
+    assert set(plan.pilot_sym.tolist()) == {0, 4}
+    # symbol-4 pilots are the symbol-0 comb shifted by 3 effective carriers
+    eff = plan.effec_carriers
+    p0 = np.sort(plan.pilot_freq[plan.pilot_sym == 0])
+    p4 = np.sort(plan.pilot_freq[plan.pilot_sym == 4])
+    loc0 = np.searchsorted(eff, p0)
+    loc4 = np.searchsorted(eff, p4)
+    np.testing.assert_array_equal(np.sort((loc0 + 3) % len(eff)), loc4)
+
+
+def test_shortcp_plan():
+    plan = build_plan(OFDMConfig(longcp=False))
+    assert plan.cp_len == 4  # round(64*0.07)
+
+
+@pytest.mark.parametrize("pilot,npilot,nguard", [
+    ("scattered", 8, 8), ("comb", 8, 8), ("block", 8, 8)])
+def test_other_pilot_schemes_partition(pilot, npilot, nguard):
+    plan = build_plan(OFDMConfig(pilot=pilot, npilot=npilot, nguard=nguard))
+    n_total = plan.nfft * plan.nsymbol
+    parts = np.concatenate([plan.data_sc, plan.pilot_sc, plan.guard_sc])
+    assert len(parts) == n_total
+    assert len(np.unique(parts)) == n_total  # exact partition
+
+
+@pytest.mark.parametrize("nbits", [1, 2, 4])
+@pytest.mark.parametrize("longcp", [True, False])
+def test_tx_matches_numpy_oracle(nbits, longcp, rng):
+    cfg = OFDMConfig(nbits=nbits, longcp=longcp)
+    plan = build_plan(cfg)
+    n_frames = 6
+    bits = rng.integers(0, 2, (n_frames, plan.frame_size, nbits))
+
+    # oracle: reference equations in plain NumPy
+    table = _table_np(nbits)
+    padded = np.pad(bits.reshape(-1, nbits), [(0, 0), (8 - nbits, 0)])
+    sym = table.take(np.packbits(padded.astype(np.uint8), axis=1).ravel())
+    grid = np.zeros((n_frames, plan.nsymbol * plan.nfft), np.complex64)
+    grid[:, plan.data_sc] = sym.reshape(n_frames, plan.frame_size)
+    grid[:, plan.pilot_sc] = 3 + 3j
+    time = np.fft.ifft(grid.reshape(-1, plan.nfft))
+    want = np.concatenate([time[:, -plan.cp_len:], time], axis=1)
+    want = want.reshape(n_frames, plan.nsymbol, plan.samples_per_symbol)
+
+    got = np.asarray(ofdm_modulate_frames(bits, plan))
+    np.testing.assert_allclose(got, want, atol=2e-6)
+
+    iq = np.asarray(iq_split(ofdm_modulate_frames(bits, plan)))
+    np.testing.assert_allclose(iq[..., 0], want.real, atol=2e-6)
+    np.testing.assert_allclose(iq[..., 1], want.imag, atol=2e-6)
+
+
+def test_tx_ifft_roundtrip():
+    """FFT of the CP-stripped TX waveform recovers the subcarrier grid."""
+    cfg = OFDMConfig(nbits=2)
+    plan = build_plan(cfg)
+    rng = np.random.default_rng(1)
+    bits = rng.integers(0, 2, (4, plan.frame_size, 2))
+    wf = np.asarray(ofdm_modulate_frames(bits, plan))
+    no_cp = wf[:, :, plan.cp_len:]
+    grid = np.fft.fft(no_cp, axis=-1).reshape(4, -1)
+    # pilots recovered
+    np.testing.assert_allclose(grid[:, plan.pilot_sc], 3 + 3j, atol=1e-4)
+    # guards are zero
+    np.testing.assert_allclose(grid[:, plan.guard_sc], 0, atol=1e-4)
+    # CP really is the tail copy
+    np.testing.assert_allclose(wf[:, :, :plan.cp_len], wf[:, :, -plan.cp_len:],
+                               atol=1e-6)
