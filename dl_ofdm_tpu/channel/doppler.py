@@ -40,9 +40,9 @@ def jakes_frequencies(fd: jnp.ndarray, n_taps: int):
     return fd * base_re, fd * base_im
 
 
-def jakes_gains(key: jax.Array, fd: jnp.ndarray, t: jnp.ndarray,
-                n_taps: int) -> jnp.ndarray:
-    """Time-varying complex tap gains.
+def jakes_gains_iq(key: jax.Array, fd: jnp.ndarray, t: jnp.ndarray,
+                   n_taps: int) -> jnp.ndarray:
+    """Time-varying tap gains as real IQ pairs (TPU-safe, no complex dtype).
 
     Args:
       key: PRNG key (phases are drawn per leading-batch element).
@@ -51,7 +51,7 @@ def jakes_gains(key: jax.Array, fd: jnp.ndarray, t: jnp.ndarray,
       n_taps: number of taps (padded size is fine; unused taps are masked
         downstream by zero channel coefficients).
 
-    Returns zck: [B, S, n_taps] complex64.
+    Returns zck: [B, S, n_taps, 2] float32.
     """
     b = fd.shape[0]
     kr, ki = jax.random.split(key)
@@ -64,4 +64,11 @@ def jakes_gains(key: jax.Array, fd: jnp.ndarray, t: jnp.ndarray,
     c1 = np.sqrt(1.0 / SS).astype(np.float32)
     mu_re = c1 * jnp.sum(jnp.cos(phase * f_re[:, None] + th_re[:, None]), axis=2)
     mu_im = c1 * jnp.sum(jnp.cos(phase * f_im[:, None] + th_im[:, None]), axis=2)
-    return (mu_re + 1j * mu_im).astype(jnp.complex64)  # [B, S, n_taps]
+    return jnp.stack([mu_re, mu_im], axis=-1)         # [B, S, n_taps, 2]
+
+
+def jakes_gains(key: jax.Array, fd: jnp.ndarray, t: jnp.ndarray,
+                n_taps: int) -> jnp.ndarray:
+    """Complex-dtype wrapper of `jakes_gains_iq` (CPU/tests only)."""
+    z = jakes_gains_iq(key, fd, t, n_taps)
+    return (z[..., 0] + 1j * z[..., 1]).astype(jnp.complex64)

@@ -8,6 +8,9 @@ FIR kernel synthesis (gains x fractional-delay alpha matrix), convolution and
 ground-truth DFT run as one vectorized XLA program — the "parallel channel
 pool" becomes plain batch parallelism, and across devices plain data sharding.
 
+All arithmetic is real-pair (IQ-last) — this TPU backend has no complex
+dtype — with the ground-truth channel DFT as a real matmul (`ops.cfloat`).
+
 Semantics parity with the reference:
   * static fading: per-frame iid tap gains zck ~ CN(0,1);
     gt = (zck * ch_coeff) @ alpha_matrix; rx = convolve(tx, gt, 'same')
@@ -20,8 +23,8 @@ Semantics parity with the reference:
     'mixAll' over {awgn, flat, etu, eva, epa}; Doppler applied on every 3rd
     (resp. 4th) frame when mix is on (`dev/py/radio.py:450-490`);
   * profile-specific FIR lengths and their 'same' alignment offsets are
-    preserved exactly (kernels zero-padded to a common length; each frame
-    slices at its own offset).
+    preserved exactly (kernels zero-padded to a common length; per-frame
+    offsets are static and compiled into the gather).
 """
 from __future__ import annotations
 
@@ -33,14 +36,15 @@ import jax.numpy as jnp
 import numpy as np
 
 from dl_ofdm_tpu.channel import fir
-from dl_ofdm_tpu.channel.doppler import jakes_gains
+from dl_ofdm_tpu.channel.doppler import jakes_gains_iq
 from dl_ofdm_tpu.channel.profiles import TapProfile, get_profile
+from dl_ofdm_tpu.ops import cfloat
 
 
 @dataclasses.dataclass
 class ChannelOut:
-    y: jnp.ndarray        # [B, S, n_sc] complex received waveform
-    h_freq: jnp.ndarray   # [B, S, nfft] complex ground-truth channel DFT
+    y: jnp.ndarray        # [B, S, n_sc, 2] received IQ waveform
+    h_freq: jnp.ndarray   # [B, S, nfft, 2] ground-truth channel DFT (IQ)
 
 
 def _pad_to(a: np.ndarray, shape: tuple[int, ...]) -> np.ndarray:
@@ -50,7 +54,7 @@ def _pad_to(a: np.ndarray, shape: tuple[int, ...]) -> np.ndarray:
 
 
 class RayleighChannel:
-    """Callable channel simulator: (key, tx[B, S, n_sc]) -> ChannelOut."""
+    """Callable channel simulator: (key, tx_iq[B, S, n_sc, 2]) -> ChannelOut."""
 
     def __init__(self, channel: str = "etu", nfft: int = 64,
                  sample_rate: float = 0.96e6, mobile: bool = False,
@@ -81,8 +85,8 @@ class RayleighChannel:
         self._alpha = jnp.asarray(np.stack(
             [_pad_to(p.alpha_matrix, (self.max_taps, self.max_fir))
              for p in profiles]), dtype=jnp.float32)  # [P, max_taps, max_fir]
-        self._offset = jnp.asarray([p.same_offset for p in profiles],
-                                   dtype=jnp.int32)
+        self._offset_np = np.asarray([p.same_offset for p in profiles],
+                                     dtype=np.int32)
         fd = [p.fd_mobile if mobile else 0.0 for p in profiles]
         self._fd = jnp.asarray(fd, dtype=jnp.float32)
         # Python-level: does any frame ever take the Doppler path?
@@ -109,53 +113,57 @@ class RayleighChannel:
             sel = np.ones(n_frames, dtype=bool)
         return sel & (fd > 0.1)
 
-    # -- main entry ----------------------------------------------------------
+    # -- main entry (real-pair) ---------------------------------------------
     def __call__(self, key: jax.Array, tx: jnp.ndarray) -> ChannelOut:
-        """Args: tx [B, S, n_sc] complex64 time-domain frames."""
-        b, s, n_sc = tx.shape
+        """Args: tx [B, S, n_sc, 2] float32 time-domain IQ frames."""
+        b, s, n_sc, _ = tx.shape
         prof_idx = self._frame_profiles(b)
         dop_mask = self._frame_doppler_mask(b, prof_idx)
         prof = jnp.asarray(prof_idx)
 
         coeff = self._coeff[prof]                  # [B, max_taps]
         alpha = self._alpha[prof]                  # [B, max_taps, max_fir]
-        offset = self._offset[prof]                # [B]
+        offsets = self._offset_np[prof_idx]        # static [B]
         passthrough = jnp.asarray(self._passthrough)[prof]  # [B] bool
 
         k_static, k_dop = jax.random.split(key)
 
         # static gains: zck ~ CN(0,1) per frame/tap, broadcast over symbols
-        zr = jax.random.normal(k_static, (b, self.max_taps, 2),
-                               dtype=jnp.float32) / np.sqrt(2.0)
-        zck_static = (zr[..., 0] + 1j * zr[..., 1]).astype(jnp.complex64)
-        zck = jnp.broadcast_to(zck_static[:, None, :], (b, s, self.max_taps))
+        zck_static = jax.random.normal(
+            k_static, (b, self.max_taps, 2), dtype=jnp.float32) / np.sqrt(2.0)
+        zck = jnp.broadcast_to(zck_static[:, None], (b, s, self.max_taps, 2))
 
         if self.has_doppler and dop_mask.any():
             fd = self._fd[prof]
             t_sym = n_sc / self.sample_rate
             t = jnp.arange(s, dtype=jnp.float32) * t_sym
-            zck_dop = jakes_gains(k_dop, fd, t, self.max_taps)
-            zck = jnp.where(jnp.asarray(dop_mask)[:, None, None], zck_dop, zck)
+            zck_dop = jakes_gains_iq(k_dop, fd, t, self.max_taps)
+            zck = jnp.where(jnp.asarray(dop_mask)[:, None, None, None],
+                            zck_dop, zck)
 
         # AWGN-passthrough frames use a deterministic unit tap
-        unit = jnp.zeros((self.max_taps,), jnp.complex64).at[0].set(1.0)
-        zck = jnp.where(passthrough[:, None, None], unit, zck)
+        unit = jnp.zeros((self.max_taps, 2), jnp.float32).at[0, 0].set(1.0)
+        zck = jnp.where(passthrough[:, None, None, None], unit, zck)
 
         # FIR kernel per frame/symbol: gt = (zck * coeff) @ alpha
-        a_taps = zck * coeff[:, None, :].astype(jnp.complex64)
-        gt = jnp.einsum("bst,btf->bsf", a_taps,
-                        alpha.astype(jnp.complex64))  # [B, S, max_fir]
+        a_taps = zck * coeff[:, None, :, None]
+        gt = jnp.einsum("bstc,btf->bsfc", a_taps, alpha)  # [B, S, max_fir, 2]
 
-        # ground-truth channel DFT per symbol
-        h_freq = jnp.fft.fft(gt, n=self.nfft, axis=-1).astype(jnp.complex64)
+        # ground-truth channel DFT per symbol (real matmul DFT)
+        h_freq = cfloat.dft_iq(gt, self.nfft)             # [B, S, nfft, 2]
 
         # convolution: frame-level 'same' for static frames
-        flat = tx.reshape(b, s * n_sc)
-        y_static = fir.fir_same_varlen(flat, gt[:, 0, :], offset)
-        y = y_static.reshape(b, s, n_sc)
+        flat = tx.reshape(b, s * n_sc, 2)
+        y = fir.fir_same_iq(flat, gt[:, 0], offsets).reshape(b, s, n_sc, 2)
 
         if self.has_doppler and dop_mask.any():
-            y_dop = fir.fir_per_symbol(tx, gt, self.max_taps, offset)
-            y = jnp.where(jnp.asarray(dop_mask)[:, None, None], y_dop, y)
+            y_dop = fir.fir_per_symbol_iq(tx, gt, self.max_taps, offsets)
+            y = jnp.where(jnp.asarray(dop_mask)[:, None, None, None], y_dop, y)
 
-        return ChannelOut(y=y.astype(jnp.complex64), h_freq=h_freq)
+        return ChannelOut(y=y, h_freq=h_freq)
+
+    # -- complex-dtype convenience wrapper (CPU/tests only) -----------------
+    def apply_complex(self, key: jax.Array, tx_c: jnp.ndarray) -> ChannelOut:
+        out = self(key, cfloat.from_complex(tx_c))
+        return ChannelOut(y=cfloat.to_complex(out.y),
+                          h_freq=cfloat.to_complex(out.h_freq))

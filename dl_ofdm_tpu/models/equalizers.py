@@ -31,8 +31,8 @@ import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np
 
-from dl_ofdm_tpu.ops.complex_ops import (ComplexConv2d, ComplexDense,
-                                         complex_to_iq, iq_to_complex)
+from dl_ofdm_tpu.ops import cfloat
+from dl_ofdm_tpu.ops.complex_ops import ComplexConv2d, ComplexDense
 from dl_ofdm_tpu.ops.norms import frame_layer_norm
 
 
@@ -123,19 +123,17 @@ class Equalizer(nn.Module):
                 blk = ComplexConv2d(1, (s, k), padding="same", mode=mode,
                                     name=f"BlockConv{i}")(blk)
                 c = blk.reshape(b, s * k * 2)
-        chest_iq = c.reshape(b, s, k, 2)
-        chest = iq_to_complex(chest_iq)                    # [B, S, K]
+        chest_iq = c.reshape(b, s, k, 2)                   # [B, S, K, 2]
 
-        # -- equalization: eq = Y * conj(H) / |H| --------------------------
-        y_f = iq_to_complex(input_freq)
-        h_norm = jnp.conj(chest) / (jnp.abs(chest) + 1e-12)
-        eq_f = y_f * h_norm                                # [B, S, K]
-        eq_freq_iq = complex_to_iq(eq_f)
+        # -- equalization: eq = Y * conj(H) / |H| (real-pair algebra) ------
+        h_norm = cfloat.conj_iq(chest_iq) / (
+            cfloat.abs_iq(chest_iq, eps=1e-24)[..., None] + 1e-12)
+        eq_freq_iq = cfloat.cmul_iq(input_freq, h_norm)    # [B, S, K, 2]
 
         # -- autocorrelation feature ---------------------------------------
         feats = []
         if spec.use_corr:
-            corr = complex_to_iq(eq_f * jnp.conj(eq_f))
+            corr = cfloat.cmul_iq(eq_freq_iq, cfloat.conj_iq(eq_freq_iq))
             cmode = "vector" if spec.cmode == "vector" else "exact"
             corr = ComplexDense(k, mode=cmode, name="CorrT")(corr)
             feats.append(corr)
@@ -145,7 +143,7 @@ class Equalizer(nn.Module):
             mode = "vector" if spec.back_to_time == "vector" else "exact"
             eq_t = ComplexDense(k, mode=mode, name="ToTime")(eq_freq_iq)
         elif spec.back_to_time == "ifft":
-            eq_t = complex_to_iq(jnp.fft.ifft(eq_f, axis=-1).astype(jnp.complex64))
+            eq_t = cfloat.idft_iq(eq_freq_iq)              # matmul IDFT
         elif spec.back_to_time == "dense":
             eq_t = nn.Dense(k * 2, name="Dense_totime")(
                 eq_freq_iq.reshape(b, s, k * 2)).reshape(b, s, k, 2)

@@ -30,7 +30,7 @@ from dl_ofdm_tpu.channel.rayleigh import RayleighChannel
 from dl_ofdm_tpu.config import OFDMConfig, TrainConfig
 from dl_ofdm_tpu.models.dccn import DCCNReceiver
 from dl_ofdm_tpu.ofdm.plan import build_plan
-from dl_ofdm_tpu.ofdm.tx import iq_split, ofdm_modulate_frames
+from dl_ofdm_tpu.ofdm.tx import ofdm_modulate_frames_iq
 from dl_ofdm_tpu.ops.norms import batch_norm_ref
 from dl_ofdm_tpu.train import metrics as M
 
@@ -78,7 +78,7 @@ class Trainer:
         self.channel = RayleighChannel(
             channel=channel, nfft=cfg.nfft,
             sample_rate=self.plan.sample_rate, mobile=mobile, mix=mix)
-        self.tx = partial(ofdm_modulate_frames, plan=self.plan)
+        self.tx = partial(ofdm_modulate_frames_iq, plan=self.plan)
         self.optimizer = make_optimizer(tc)
         self.batch_frames = max(1, tc.batch_size // cfg.nsymbol)
         self._grad_mask = None  # set by transfer learning
@@ -100,9 +100,9 @@ class Trainer:
         bits = jax.random.bernoulli(
             kb, 0.5, (n_frames, self.plan.frame_size, self.cfg.nbits)
         ).astype(jnp.int32)
-        wf = self.tx(bits)                       # [B, S, K+CP] complex
+        wf = self.tx(bits)                       # [B, S, K+CP, 2]
         ch = self.channel(kc, wf)
-        y_iq, noise_pwr = awgn_channel(kn, iq_split(ch.y), snr_db)
+        y_iq, noise_pwr = awgn_channel(kn, ch.y, snr_db)
         rx_in = batch_norm_ref(y_iq)             # the reference 'input' tensor
         return bits, rx_in, ch.h_freq, noise_pwr
 

@@ -112,7 +112,7 @@ def test_awgn_channel_passthrough():
     chan = RayleighChannel("awgn", nfft=64)
     key = jax.random.PRNGKey(1)
     tx = (jnp.ones((4, 7, 80)) * (1 + 1j)).astype(jnp.complex64)
-    out = chan(key, tx)
+    out = chan.apply_complex(key, tx)
     np.testing.assert_allclose(np.asarray(out.y), np.asarray(tx), atol=1e-6)
     np.testing.assert_allclose(np.asarray(out.h_freq), 1.0, atol=1e-6)
 
@@ -125,7 +125,7 @@ def test_static_rayleigh_ht_is_fft_of_kernel(rng):
     b, s, n_sc = 8, 7, 80
     tx = (rng.normal(size=(b, s, n_sc)) + 1j * rng.normal(size=(b, s, n_sc))
           ).astype(np.complex64)
-    out = chan(key, jnp.asarray(tx))
+    out = chan.apply_complex(key, jnp.asarray(tx))
     y = np.asarray(out.y)
     h = np.asarray(out.h_freq)
     # reconstruct kernel from h_freq and check convolution equality
@@ -145,7 +145,7 @@ def test_rayleigh_tap_statistics():
     p = get_profile("epa")
     keys = jax.random.split(jax.random.PRNGKey(3), 1)
     tx = jnp.zeros((4096, 1, 80), jnp.complex64).at[:, :, 0].set(1.0)
-    out = chan(keys[0], tx)
+    out = chan.apply_complex(keys[0], tx)
     # mean |H|^2 over frames == sum over taps of coeff^2 (flat PDP in freq)
     mean_pow = float(jnp.mean(jnp.abs(out.h_freq) ** 2))
     want = float(np.sum(p.ch_coeff**2))
@@ -163,7 +163,7 @@ def test_mix_all_has_awgn_passthrough_frames():
     chan = RayleighChannel("mixAll", nfft=64)
     key = jax.random.PRNGKey(4)
     tx = (jnp.ones((10, 7, 80)) * (1 - 2j)).astype(jnp.complex64)
-    out = chan(key, tx)
+    out = chan.apply_complex(key, tx)
     y = np.asarray(out.y)
     for i in (0, 5):  # every 5th frame is AWGN passthrough
         np.testing.assert_allclose(y[i], np.asarray(tx[i]), atol=1e-5)
@@ -201,7 +201,61 @@ def test_mobile_single_channel_uses_doppler():
     assert chan.has_doppler
     key = jax.random.PRNGKey(6)
     tx = (jnp.ones((2, 7, 80))).astype(jnp.complex64)
-    out = chan(key, tx)
+    out = chan.apply_complex(key, tx)
     h = np.asarray(out.h_freq)
     # time-varying channel: H differs across symbols
     assert np.abs(h[:, 0, :] - h[:, 3, :]).max() > 1e-4
+
+
+# ------------------------------------------------- real-pair (TPU) path ----
+def _iq(x):
+    return np.stack([x.real, x.imag], axis=-1).astype(np.float32)
+
+
+def test_fir_same_iq_matches_np_convolve(rng):
+    lens = [13, 9, 11, 1]
+    fmax = max(lens)
+    x = (rng.normal(size=(4, 80)) + 1j * rng.normal(size=(4, 80))).astype(np.complex64)
+    h = np.zeros((4, fmax), np.complex64)
+    for i, L in enumerate(lens):
+        h[i, :L] = rng.normal(size=L) + 1j * rng.normal(size=L)
+    off = np.asarray([(L - 1) // 2 for L in lens])
+    got = np.asarray(fir.fir_same_iq(jnp.asarray(_iq(x)), jnp.asarray(_iq(h)), off))
+    for i, L in enumerate(lens):
+        want = np.convolve(x[i], h[i, :L], mode="same")
+        np.testing.assert_allclose(got[i, :, 0] + 1j * got[i, :, 1], want,
+                                   atol=1e-4)
+
+
+def test_fir_per_symbol_iq_matches_reference_loop(rng):
+    b, s, n_sc, n_taps, n_fir = 3, 7, 80, 9, 13
+    tx = (rng.normal(size=(b, s, n_sc)) + 1j * rng.normal(size=(b, s, n_sc))
+          ).astype(np.complex64)
+    h = (rng.normal(size=(b, s, n_fir)) + 1j * rng.normal(size=(b, s, n_fir))
+         ).astype(np.complex64)
+    off = np.full((b,), (n_fir - 1) // 2)
+    got = np.asarray(fir.fir_per_symbol_iq(
+        jnp.asarray(_iq(tx)), jnp.asarray(_iq(h)), n_taps, off))
+    for ib in range(b):
+        flat = tx[ib].reshape(-1)
+        pre = np.zeros(n_taps + s * n_sc, np.complex64)
+        pre[n_taps:] = flat
+        out = np.zeros_like(flat)
+        for i in range(s):
+            window = pre[n_sc * i: n_taps + n_sc * (i + 1)]
+            roll = np.convolve(window, h[ib, i], mode="same")
+            out[n_sc * i: n_sc * (i + 1)] = roll[n_taps:]
+        gc = got[ib].reshape(-1, 2)
+        np.testing.assert_allclose(gc[:, 0] + 1j * gc[:, 1], out, atol=1e-4)
+
+
+def test_dft_idft_iq_match_numpy_fft(rng):
+    from dl_ofdm_tpu.ops import cfloat
+    x = (rng.normal(size=(5, 13)) + 1j * rng.normal(size=(5, 13))).astype(np.complex64)
+    got = np.asarray(cfloat.dft_iq(jnp.asarray(_iq(x)), 64))
+    want = np.fft.fft(x, n=64, axis=-1)
+    np.testing.assert_allclose(got[..., 0] + 1j * got[..., 1], want, atol=1e-4)
+    y = (rng.normal(size=(5, 64)) + 1j * rng.normal(size=(5, 64))).astype(np.complex64)
+    got = np.asarray(cfloat.idft_iq(jnp.asarray(_iq(y))))
+    want = np.fft.ifft(y, axis=-1)
+    np.testing.assert_allclose(got[..., 0] + 1j * got[..., 1], want, atol=1e-5)

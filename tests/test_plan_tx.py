@@ -89,3 +89,16 @@ def test_tx_ifft_roundtrip():
     # CP really is the tail copy
     np.testing.assert_allclose(wf[:, :, :plan.cp_len], wf[:, :, -plan.cp_len:],
                                atol=1e-6)
+
+
+def test_tx_iq_real_path_matches_complex_path(rng):
+    """The TPU real-pair modulator must equal the complex/np.fft one."""
+    from dl_ofdm_tpu.ofdm.tx import ofdm_modulate_frames_iq
+    for nbits in (1, 4):
+        cfg = OFDMConfig(nbits=nbits)
+        plan = build_plan(cfg)
+        bits = rng.integers(0, 2, (5, plan.frame_size, nbits))
+        want = np.asarray(ofdm_modulate_frames(bits, plan))
+        got = np.asarray(ofdm_modulate_frames_iq(bits, plan))
+        np.testing.assert_allclose(got[..., 0], want.real, atol=2e-5)
+        np.testing.assert_allclose(got[..., 1], want.imag, atol=2e-5)

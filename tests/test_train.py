@@ -55,7 +55,7 @@ def test_synthesize_shapes_and_normalization():
         key, 10, jnp.full((10,), 5.0))
     assert bits.shape == (10, tr.plan.frame_size, 2)
     assert rx_in.shape == (10, 7, 80, 2)
-    assert h_freq.shape == (10, 7, 64)
+    assert h_freq.shape == (10, 7, 64, 2)
     # batch-norm + /sqrt(2): per-position variance ~ 0.5
     v = float(jnp.mean(jnp.var(rx_in, axis=0)))
     assert abs(v - 0.5) < 0.05
