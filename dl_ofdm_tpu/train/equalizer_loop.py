@@ -1,0 +1,144 @@
+"""Equalizer fine-tuning stage (transfer learning) — the TPU-native version of
+`dev/py/ofdmreceiver_np_mp.py main()`.
+
+Flow parity:
+  1. pretrain a DCCN receiver on AWGN (train.loop.Trainer);
+  2. build an EqualizedReceiver, graft the pretrained receiver params in
+     (replaces the TF1 graph surgery, `ofdmreceiver_np_mp.py:264-322`);
+  3. train ONLY the Equalizer scope with fresh Adam state
+     (optax.masked == `var_list=trainable_vars` + re-init, `:346-371`);
+  4. per-frame SNR curriculum linspace(0,27,10) with the reference pmf
+     (`:386,405`);
+  5. channel: mixRayleigh (or per-flag), RayleighChanParallel -> batched
+     vectorized channel; mobile adds mixed Jakes Doppler (`:389-391`);
+  6. diagnostics: SNR-estimate MSE and layernormed channel-estimate MSE vs
+     ground truth (`:324-333`).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from dl_ofdm_tpu.config import OFDMConfig, TrainConfig
+from dl_ofdm_tpu.models.equalizers import EQUALIZER_REGISTRY
+from dl_ofdm_tpu.models.receiver import EqualizedReceiver
+from dl_ofdm_tpu.ops.norms import frame_layer_norm
+from dl_ofdm_tpu.train import metrics as M
+from dl_ofdm_tpu.train.curriculum import sample_snr
+from dl_ofdm_tpu.train.loop import Trainer, TrainState, make_optimizer
+from dl_ofdm_tpu.train.transfer import graft_pretrained, scope_mask
+
+
+class EqualizerTrainer(Trainer):
+    """Trainer for the equalized receiver with a frozen pretrained DCCN."""
+
+    def __init__(self, cfg: OFDMConfig, tc: TrainConfig,
+                 channel: str = "mixRayleigh", mobile: bool = False,
+                 mix: Optional[bool] = None,
+                 pretrained_rx: Any = None):
+        spec = EQUALIZER_REGISTRY[tc.opt]
+        plan_probe = None
+        from dl_ofdm_tpu.ofdm.plan import build_plan
+        plan_probe = build_plan(cfg)
+        model = EqualizedReceiver(
+            nbits=cfg.nbits, nfft=cfg.nfft, cp_len=plan_probe.cp_len,
+            nfilter=cfg.nfilter, frame_size=plan_probe.frame_size,
+            nsymbol=plan_probe.nsymbol, pilot_size=plan_probe.pilot_size,
+            pilot_carriers=tuple(plan_probe.pilot_carriers),
+            keep_cp=cfg.cp, eq_spec=spec)
+        mix = mobile if mix is None else mix
+        super().__init__(cfg, tc, channel=channel, mobile=mobile, mix=mix,
+                         model=model)
+        self.pretrained_rx = pretrained_rx
+        # freeze everything outside the Equalizer scope
+        self._eq_reg_coeff = 1e-3   # `ofdmreceiver_np_mp.py:338`
+
+    def init_state(self, key: jax.Array) -> TrainState:
+        dummy = jnp.zeros(
+            (2, self.plan.nsymbol, self.plan.samples_per_symbol, 2),
+            jnp.float32)
+        params = self.model.init(key, dummy)["params"]
+        if self.pretrained_rx is not None:
+            params = graft_pretrained(params, self.pretrained_rx)
+        mask = scope_mask(params, "Equalizer")
+        self.optimizer = optax.masked(make_optimizer(self.tc), mask)
+        self._grad_mask = jax.tree.map(
+            lambda m: jnp.asarray(1.0 if m else 0.0), mask)
+        return TrainState(params=params,
+                          opt_state=self.optimizer.init(params),
+                          step=jnp.zeros((), jnp.int32))
+
+    # -- loss with equalizer-stage coefficients and diagnostics --------------
+    def _loss_fn(self, params, bits, rx_in, h_freq=None, snr_db=None):
+        logits, _, _, snr_est, chest = self.model.apply(
+            {"params": params}, rx_in)
+        ce = M.cross_entropy(logits, bits, self.tc.double_softmax)
+        reg = M.l2_regularization(params)
+        pred = M.bit_predictions(logits)
+        conf = M.confusion_matrix(bits, pred)
+        log_ber, ber = M.ber_from_confusion(conf)
+        loss = ce + self._eq_reg_coeff * reg
+        aux = {"ce": ce, "ber": ber, "log_ber": log_ber, "conf": conf,
+               "total_loss": loss}
+        if snr_db is not None:
+            aux["snr_mse"] = jnp.mean((snr_est - snr_db.reshape(-1, 1)) ** 2)
+        if h_freq is not None:
+            aux["chan_mse"] = jnp.mean(
+                (frame_layer_norm(h_freq) - frame_layer_norm(chest)) ** 2)
+        return loss, aux
+
+    # -- steps with SNR curriculum -------------------------------------------
+    @partial(jax.jit, static_argnums=0)
+    def train_step_curriculum(self, state: TrainState, key: jax.Array):
+        ks, key = jax.random.split(key)
+        snr_db = sample_snr(ks, self.batch_frames)
+        bits, rx_in, h_freq, noise_pwr = self.synthesize(
+            key, self.batch_frames, snr_db)
+        (loss, aux), grads = jax.value_and_grad(
+            self._loss_fn, has_aux=True)(state.params, bits, rx_in,
+                                         h_freq, snr_db)
+        if self._grad_mask is not None:
+            grads = jax.tree.map(lambda g, m: g * m, grads, self._grad_mask)
+        updates, opt_state = self.optimizer.update(
+            grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        aux.update(loss=loss, noise_power=noise_pwr)
+        return TrainState(new_params, opt_state, state.step + 1), aux
+
+    def fit(self, seed: int = None, max_epochs: int = None, log_fn=print):
+        import numpy as np
+        tc = self.tc
+        seed = tc.seed if seed is None else seed
+        max_epochs = tc.max_epoch_num if max_epochs is None else max_epochs
+        key = jax.random.PRNGKey(seed)
+        key, k0 = jax.random.split(key)
+        state = self.init_state(k0)
+        steps_per_epoch = max(1, tc.frames_per_epoch // self.batch_frames)
+        best_loss, best_epoch, best_params = np.inf, 0, state.params
+        history = []
+        for epoch in range(max_epochs):
+            losses = []
+            for _ in range(steps_per_epoch):
+                key, k = jax.random.split(key)
+                state, aux = self.train_step_curriculum(state, k)
+                losses.append(aux["ce"])
+            epoch_loss = float(jnp.mean(jnp.stack(losses)))
+            key, ks, k = jax.random.split(key, 3)
+            val = self.eval_step(state.params, k, 1024,
+                                 sample_snr(ks, 1024))
+            history.append({"epoch": epoch, "train_loss": epoch_loss,
+                            "val_ber": float(val["ber"])})
+            log_fn(f"epoch {epoch}: train_ce={epoch_loss:.5f} "
+                   f"val_ber={float(val['ber']):.6f}")
+            if epoch_loss < best_loss:
+                best_loss, best_epoch = epoch_loss, epoch
+                best_params = state.params
+            if epoch - tc.early_stop > best_epoch:
+                break
+        state = TrainState(best_params, state.opt_state, state.step)
+        return state, {"best_epoch": best_epoch, "best_loss": best_loss,
+                       "history": history}

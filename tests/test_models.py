@@ -100,3 +100,52 @@ def test_equalized_receiver_composition():
     assert set(params.keys()) == {"Equalizer", "receiver"}
     logits, fft_out, eq, snr, chest = model.apply({"params": params}, x)
     assert logits.shape == (2, plan.frame_size, cfg.nbits, 2)
+
+
+def test_pallas_complex_dense_matches_jnp(rng):
+    from dl_ofdm_tpu.ops.pallas_kernels import complex_dense
+    xr = rng.normal(size=(24, 80)).astype(np.float32)
+    xi = rng.normal(size=(24, 80)).astype(np.float32)
+    wr = rng.normal(size=(80, 64)).astype(np.float32)
+    wi = rng.normal(size=(80, 64)).astype(np.float32)
+    yr, yi = complex_dense(*map(jnp.asarray, (xr, xi, wr, wi)))
+    want = (xr + 1j * xi) @ (wr + 1j * wi)
+    got = np.asarray(yr) + 1j * np.asarray(yi)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
+
+
+def test_pallas_complex_dense_grads(rng):
+    from dl_ofdm_tpu.ops.pallas_kernels import complex_dense
+    xr = jnp.asarray(rng.normal(size=(8, 16)).astype(np.float32))
+    xi = jnp.asarray(rng.normal(size=(8, 16)).astype(np.float32))
+    wr = jnp.asarray(rng.normal(size=(16, 4)).astype(np.float32))
+    wi = jnp.asarray(rng.normal(size=(16, 4)).astype(np.float32))
+
+    def loss_pl(xr, xi, wr, wi):
+        yr, yi = complex_dense(xr, xi, wr, wi)
+        return jnp.sum(yr**2 + 0.5 * yi**2)
+
+    def loss_ref(xr, xi, wr, wi):
+        yr = xr @ wr - xi @ wi
+        yi = xr @ wi + xi @ wr
+        return jnp.sum(yr**2 + 0.5 * yi**2)
+
+    g1 = jax.grad(loss_pl, argnums=(0, 1, 2, 3))(xr, xi, wr, wi)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(xr, xi, wr, wi)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-3)
+
+
+def test_pallas_fir_matches_convolve(rng):
+    from dl_ofdm_tpu.ops.pallas_kernels import fir_shift_accum
+    f_taps, l = 13, 97
+    xa = rng.normal(size=(6, l + f_taps - 1, 2)).astype(np.float32)
+    h = rng.normal(size=(6, f_taps, 2)).astype(np.float32)
+    y = np.asarray(fir_shift_accum(jnp.asarray(xa), jnp.asarray(h), l))
+    xc = xa[..., 0] + 1j * xa[..., 1]
+    hc = h[..., 0] + 1j * h[..., 1]
+    want = np.stack([np.convolve(xc[i], hc[i], mode="valid")
+                     for i in range(6)])
+    np.testing.assert_allclose(y[..., 0] + 1j * y[..., 1], want,
+                               rtol=1e-4, atol=1e-4)

@@ -1,0 +1,102 @@
+"""Mesh/sharding tests on the 8-device virtual CPU mesh: halo-exchange FIR,
+sharded params, psum BER reduction, and the multichip dry run."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from dl_ofdm_tpu.channel import fir
+from dl_ofdm_tpu.parallel.halo import halo_fir_same_iq
+from dl_ofdm_tpu.parallel.mesh import make_mesh, shard_batch, shard_params
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 virtual devices")
+
+
+def _iq(x):
+    return np.stack([x.real, x.imag], axis=-1).astype(np.float32)
+
+
+def test_halo_fir_matches_single_device(rng):
+    """Sharded overlap-save == np.convolve 'same' on the full signal."""
+    from jax import shard_map
+
+    n_dev = 8
+    mesh = make_mesh(jax.devices()[:n_dev], dp=n_dev, tp=1)
+    b, l, f = 4, 8 * 50, 13
+    x = (rng.normal(size=(b, l)) + 1j * rng.normal(size=(b, l))).astype(np.complex64)
+    h = (rng.normal(size=(b, f)) + 1j * rng.normal(size=(b, f))).astype(np.complex64)
+    off = (f - 1) // 2
+
+    fn = shard_map(
+        lambda xs, hs: halo_fir_same_iq(xs, hs, off, "dp"),
+        mesh=mesh, in_specs=(P(None, "dp", None), P(None, None, None)),
+        out_specs=P(None, "dp", None))
+    got = np.asarray(jax.jit(fn)(jnp.asarray(_iq(x)), jnp.asarray(_iq(h))))
+    for i in range(b):
+        want = np.convolve(x[i], h[i], mode="same")
+        np.testing.assert_allclose(got[i, :, 0] + 1j * got[i, :, 1], want,
+                                   atol=1e-4)
+
+
+def test_halo_fir_causal_offset(rng):
+    from jax import shard_map
+
+    n_dev = 4
+    mesh = make_mesh(jax.devices()[:n_dev], dp=n_dev, tp=1)
+    b, l, f = 2, 4 * 40, 9
+    x = (rng.normal(size=(b, l)) + 1j * rng.normal(size=(b, l))).astype(np.complex64)
+    h = (rng.normal(size=(b, f)) + 1j * rng.normal(size=(b, f))).astype(np.complex64)
+    fn = shard_map(
+        lambda xs, hs: halo_fir_same_iq(xs, hs, 0, "dp"),
+        mesh=mesh, in_specs=(P(None, "dp", None), P(None, None, None)),
+        out_specs=P(None, "dp", None))
+    got = np.asarray(jax.jit(fn)(jnp.asarray(_iq(x)), jnp.asarray(_iq(h))))
+    for i in range(b):
+        want = np.convolve(x[i], h[i], mode="full")[:l]
+        np.testing.assert_allclose(got[i, :, 0] + 1j * got[i, :, 1], want,
+                                   atol=1e-4)
+
+
+def test_shard_params_and_batch_layouts():
+    from dl_ofdm_tpu.config import OFDMConfig, TrainConfig
+    from dl_ofdm_tpu.train.loop import Trainer
+
+    mesh = make_mesh(jax.devices()[:8], dp=4, tp=2)
+    tr = Trainer(OFDMConfig(), TrainConfig(batch_size=56), channel="ETU")
+    state = tr.init_state(jax.random.PRNGKey(0))
+    params = shard_params(mesh, state.params)
+    wr = params["fft_like"]["wr"]
+    assert wr.sharding.spec == P(None, "tp")
+    bits = jnp.zeros((8, tr.plan.frame_size, 1), jnp.int32)
+    (bits_s,) = shard_batch(mesh, (bits,))
+    assert bits_s.sharding.spec == P("dp", None, None)
+
+
+def test_psum_ber_reduction_matches_global():
+    """Explicit shard_map eval: per-shard confusion matrices psum to the
+    global matrix."""
+    from jax import shard_map
+    from dl_ofdm_tpu.train import metrics as M
+
+    mesh = make_mesh(jax.devices()[:8], dp=8, tp=1)
+    rng = np.random.default_rng(0)
+    y = rng.integers(0, 2, (64, 100)).astype(np.int32)
+    p = rng.integers(0, 2, (64, 100)).astype(np.int32)
+
+    def local_conf(ys, ps):
+        conf = M.confusion_matrix(ys, ps)
+        return jax.lax.psum(conf, "dp")
+
+    fn = shard_map(local_conf, mesh=mesh,
+                   in_specs=(P("dp", None), P("dp", None)),
+                   out_specs=P())
+    got = np.asarray(jax.jit(fn)(jnp.asarray(y), jnp.asarray(p)))
+    want = np.asarray(M.confusion_matrix(jnp.asarray(y), jnp.asarray(p)))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_dryrun_multichip_runs():
+    import __graft_entry__ as ge
+    ge.dryrun_multichip(8)

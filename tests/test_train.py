@@ -70,3 +70,45 @@ def test_transfer_graft_and_mask():
     mask = scope_mask(grafted, "Equalizer")
     assert mask["Equalizer"]["Dense_in"]["kernel"] is True
     assert mask["receiver"]["fft_like"]["wr"] is False
+
+
+def test_equalizer_trainer_freezes_receiver():
+    from dl_ofdm_tpu.train.equalizer_loop import EqualizerTrainer
+    from dl_ofdm_tpu.train.loop import Trainer
+
+    cfg = OFDMConfig(nbits=1)
+    tc = TrainConfig(batch_size=70, opt=0)
+    # pretrain stub: just init a basic receiver and use its params
+    base = Trainer(cfg, tc, channel="AWGN")
+    key = jax.random.PRNGKey(0)
+    rx_params = base.init_state(key).params
+
+    eq = EqualizerTrainer(cfg, tc, channel="mixRayleigh",
+                          pretrained_rx=rx_params)
+    state = eq.init_state(key)
+    # grafted: receiver params identical to pretrained
+    for k in ("fft_like", "Dense_extract"):
+        np.testing.assert_array_equal(
+            np.asarray(jax.tree.leaves(state.params["receiver"][k])[0]),
+            np.asarray(jax.tree.leaves(rx_params[k])[0]))
+    state2, aux = eq.train_step_curriculum(state, key)
+    assert np.isfinite(float(aux["ce"]))
+    assert "chan_mse" in aux and np.isfinite(float(aux["chan_mse"]))
+    # receiver unchanged, equalizer changed
+    r0 = jax.tree.leaves(state.params["receiver"])
+    r1 = jax.tree.leaves(state2.params["receiver"])
+    for a, b in zip(r0, r1):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    e0 = jax.tree.leaves(state.params["Equalizer"])
+    e1 = jax.tree.leaves(state2.params["Equalizer"])
+    assert any(np.abs(np.asarray(a) - np.asarray(b)).max() > 0
+               for a, b in zip(e0, e1))
+
+
+def test_curriculum_snr_distribution():
+    from dl_ofdm_tpu.train.curriculum import sample_snr, SNR_GRID
+    s = np.asarray(sample_snr(jax.random.PRNGKey(0), 20000))
+    assert set(np.unique(s)).issubset(set(SNR_GRID.tolist()))
+    # mode of the pmf is 21 dB with p=0.5
+    frac_21 = np.mean(np.isclose(s, 21.0))
+    assert 0.45 < frac_21 < 0.55
