@@ -96,7 +96,7 @@ class EqualizerTrainer(Trainer):
     def train_step_curriculum(self, state: TrainState, key: jax.Array):
         ks, key = jax.random.split(key)
         snr_db = sample_snr(ks, self.batch_frames)
-        bits, rx_in, h_freq, noise_pwr = self.synthesize(
+        bits, rx_in, h_freq, noise_pwr, _ = self.synthesize(
             key, self.batch_frames, snr_db)
         (loss, aux), grads = jax.value_and_grad(
             self._loss_fn, has_aux=True)(state.params, bits, rx_in,

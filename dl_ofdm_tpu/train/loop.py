@@ -104,7 +104,7 @@ class Trainer:
         ch = self.channel(kc, wf)
         y_iq, noise_pwr = awgn_channel(kn, ch.y, snr_db)
         rx_in = batch_norm_ref(y_iq)             # the reference 'input' tensor
-        return bits, rx_in, ch.h_freq, noise_pwr
+        return bits, rx_in, ch.h_freq, noise_pwr, wf
 
     # -- loss ----------------------------------------------------------------
     def _loss_fn(self, params, bits, rx_in):
@@ -123,7 +123,7 @@ class Trainer:
     @partial(jax.jit, static_argnums=0)
     def train_step(self, state: TrainState, key: jax.Array,
                    snr_db: jnp.ndarray):
-        bits, rx_in, _, noise_pwr = self.synthesize(
+        bits, rx_in, _, noise_pwr, _ = self.synthesize(
             key, self.batch_frames, snr_db)
         (loss, aux), grads = jax.value_and_grad(self._loss_fn, has_aux=True)(
             state.params, bits, rx_in)
@@ -138,14 +138,31 @@ class Trainer:
     @partial(jax.jit, static_argnums=(0, 3))
     def eval_step(self, params, key: jax.Array, n_frames: int,
                   snr_db: jnp.ndarray):
-        bits, rx_in, _, noise_pwr = self.synthesize(key, n_frames, snr_db)
+        bits, rx_in, _, noise_pwr, wf = self.synthesize(key, n_frames, snr_db)
         _, aux = self._loss_fn(params, bits, rx_in)
         aux["noise_power"] = noise_pwr
+        aux["iq_tx"] = wf.reshape(-1, 2)[:2048]
+        aux["iq_rx"] = rx_in.reshape(-1, 2)[:2048]
         return aux
+
+    # -- adaptive batch growth (reference C15, `ofdmreceiver_np.py:242-243`) -
+    def _ideal_batch_frames(self, ber: float) -> int:
+        """idealbatch = (min(200/BER, 9e5) / (55*nbits)) // 8, snapped to the
+        next power of two to bound the number of re-jits (a deliberate
+        deviation: XLA compiles per static shape)."""
+        ideal = int(min(200.0 / max(ber, 1e-6), 9e5) / (55 * self.cfg.nbits)) // 8
+        if ideal <= self.batch_frames:
+            return self.batch_frames
+        target = min(ideal, 8192)
+        snapped = 1
+        while snapped < target:
+            snapped *= 2
+        return max(self.batch_frames, snapped // 2 if snapped > target else snapped)
 
     # -- epoch driver (mirrors reference epoch/early-stop protocol) ----------
     def fit(self, seed: int = None, max_epochs: int = None,
-            log_fn=print) -> tuple[TrainState, dict]:
+            log_fn=print, grow_batch: bool = True,
+            dump_constellations: bool = False) -> tuple[TrainState, dict]:
         import numpy as np
         tc = self.tc
         seed = tc.seed if seed is None else seed
@@ -153,20 +170,28 @@ class Trainer:
         key = jax.random.PRNGKey(seed)
         key, k0 = jax.random.split(key)
         state = self.init_state(k0)
-        steps_per_epoch = max(1, tc.frames_per_epoch // self.batch_frames)
         best_loss, best_epoch, best_params = np.inf, 0, state.params
-        snr = jnp.full((self.batch_frames,), tc.snr, jnp.float32)
         history = []
         for epoch in range(max_epochs):
+            steps_per_epoch = max(1, tc.frames_per_epoch // self.batch_frames)
+            snr = jnp.full((self.batch_frames,), tc.snr, jnp.float32)
             losses = []
+            last_ber = 0.5
             for _ in range(steps_per_epoch):
                 key, k = jax.random.split(key)
                 state, aux = self.train_step(state, k, snr)
                 losses.append(aux["ce"])
+            last_ber = float(aux["ber"])
             epoch_loss = float(jnp.mean(jnp.stack(losses)))
             key, k = jax.random.split(key)
             val = self.eval_step(state.params, k, 1024,
                                  jnp.full((1024,), tc.snr, jnp.float32))
+            if grow_batch:
+                self.batch_frames = self._ideal_batch_frames(last_ber)
+            if dump_constellations:
+                from dl_ofdm_tpu.utils.observability import dump_constellation
+                dump_constellation(tc.token, val["iq_tx"], val["iq_rx"],
+                                   out_dir=tc.save_dir)
             history.append({"epoch": epoch, "train_loss": epoch_loss,
                             "val_ber": float(val["ber"]),
                             "val_loss": float(val["ce"])})

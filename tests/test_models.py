@@ -149,3 +149,41 @@ def test_pallas_fir_matches_convolve(rng):
                      for i in range(6)])
     np.testing.assert_allclose(y[..., 0] + 1j * y[..., 1], want,
                                rtol=1e-4, atol=1e-4)
+
+
+def test_e2e_blocks_shapes():
+    from dl_ofdm_tpu.models.e2e_blocks import (ConvBlockRx, ConvBlockTx,
+                                               DenseBlockRx, DenseBlockTx)
+    key = jax.random.PRNGKey(0)
+    bits = jnp.zeros((2, 7, 48, 2), jnp.int32)
+    tx1 = DenseBlockTx(codein=2, codeout=3)
+    p = tx1.init(key, bits)
+    out = tx1.apply(p, bits)
+    assert out.shape == (2, 7, 72, 2)
+    tx2 = ConvBlockTx(nbits=2)
+    p = tx2.init(key, bits)
+    iq = tx2.apply(p, bits)
+    assert iq.shape == (2, 7, 48, 2)
+    rx1 = ConvBlockRx(nbits=2)
+    p = rx1.init(key, iq)
+    soft = rx1.apply(p, iq)
+    assert soft.shape == (2, 7, 48, 4)
+    rx2 = DenseBlockRx(frame_size=320, nbits=2)
+    p = rx2.init(key, soft)
+    logits = rx2.apply(p, soft)
+    assert logits.shape == (2, 320, 2, 2)
+
+
+def test_single_graph_equalized_rx():
+    from dl_ofdm_tpu.models.receiver import SingleGraphEqualizedRx
+    cfg = OFDMConfig()
+    plan = build_plan(cfg)
+    model = SingleGraphEqualizedRx(
+        nbits=1, nfft=cfg.nfft, cp_len=plan.cp_len, nfilter=cfg.nfilter,
+        frame_size=plan.frame_size, nsymbol=plan.nsymbol,
+        pilot_size=plan.pilot_size)
+    x = _mk_input(plan, b=2)
+    p = model.init(jax.random.PRNGKey(0), x)
+    logits, freq, eq, chest = model.apply(p, x)
+    assert logits.shape == (2, plan.frame_size, 1, 2)
+    assert np.isfinite(np.asarray(logits)).all()

@@ -51,8 +51,9 @@ def test_synthesize_shapes_and_normalization():
     tc = TrainConfig(batch_size=70)
     tr = Trainer(cfg, tc, channel="ETU")
     key = jax.random.PRNGKey(1)
-    bits, rx_in, h_freq, noise = tr.synthesize(
+    bits, rx_in, h_freq, noise, wf = tr.synthesize(
         key, 10, jnp.full((10,), 5.0))
+    assert wf.shape == (10, 7, 80, 2)
     assert bits.shape == (10, tr.plan.frame_size, 2)
     assert rx_in.shape == (10, 7, 80, 2)
     assert h_freq.shape == (10, 7, 64, 2)
