@@ -1,0 +1,61 @@
+"""Multi-host initialization + scaling-efficiency harness.
+
+The reference has no distributed backend (SURVEY.md section 5.8); the
+TPU-native equivalent: `jax.distributed.initialize` for multi-host pods, a
+global ('dp','tp') mesh spanning hosts (dp over DCN+ICI, tp within a slice),
+and a scaling benchmark that measures samples/s at 1..N devices to report
+scaling efficiency (BASELINE.md target: >= 85%).
+"""
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def initialize_multihost(coordinator: Optional[str] = None,
+                         num_processes: Optional[int] = None,
+                         process_id: Optional[int] = None) -> None:
+    """Initialize jax.distributed (no-op on a single process).
+
+    On TPU pods the arguments are auto-detected from the environment; on
+    CPU/GPU fleets pass coordinator='host:port', num_processes, process_id.
+    """
+    if num_processes is not None and num_processes > 1:
+        jax.distributed.initialize(coordinator_address=coordinator,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    else:
+        try:
+            jax.distributed.initialize()
+        except Exception:
+            pass  # single-process
+
+
+def scaling_efficiency(make_step, make_args, device_counts=(1, 2, 4, 8),
+                       iters: int = 10, log_fn=print) -> dict[int, float]:
+    """Measure per-device throughput at several mesh widths.
+
+    `make_step(n_devices)` returns a jitted step closure; `make_args(n)`
+    its (sharded) inputs.  Returns {n: samples_per_sec}.
+    """
+    results = {}
+    for n in device_counts:
+        if n > len(jax.devices()):
+            break
+        step, args = make_step(n), make_args(n)
+        out = step(*args)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = step(*args)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / iters
+        results[n] = 1.0 / dt
+        base = results[min(results)]
+        eff = results[n] / (base * n / min(results))
+        log_fn(f"{n} devices: {dt*1e3:.2f} ms/step, "
+               f"scaling efficiency {eff*100:.1f}%")
+    return results

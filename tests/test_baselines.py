@@ -154,3 +154,37 @@ def test_perfect_csi_beats_ls_spline():
     b_perfect, _ = run_point(link, ctx, 1, jax.random.PRNGKey(6), 10.0, 300)
     b_ls, _ = run_point(link, ctx, 2, jax.random.PRNGKey(6), 10.0, 300)
     assert b_perfect <= b_ls * 1.2 + 1e-3
+
+
+def test_mat_cross_validation_roundtrip(tmp_path):
+    """Synthesize a .mat in the reference TX_bit_iq_* schema with our own TX,
+    reload via the mat-eval path, and verify a perfect-channel receiver-free
+    demap recovers the bits (interop contract check)."""
+    import scipy.io as sio
+    from dl_ofdm_tpu.eval.mat_eval import load_mat_waveforms
+    from dl_ofdm_tpu.ofdm.tx import ofdm_modulate_frames
+
+    plan = build_plan(OFDMConfig(nbits=1))
+    rng = np.random.default_rng(0)
+    n_fr = 6
+    bits = rng.integers(0, 2, (n_fr, plan.frame_size, 1))
+    wf = np.asarray(ofdm_modulate_frames(bits, plan))   # [B, S, K+CP] complex
+    ch_data = wf.reshape(n_fr, -1).T                    # MATLAB column layout
+    sio.savemat(tmp_path / "TX_bit_iq_BPSK_AWGN_FFT64.mat",
+                {"Ch_Data": ch_data, "txbits": bits.reshape(-1, 1)})
+    chan_iq, got_bits = load_mat_waveforms(
+        str(tmp_path), 1, "AWGN", 64, plan.nsymbol, plan.frame_size)
+    assert chan_iq.shape == (n_fr, plan.nsymbol, plan.samples_per_symbol, 2)
+    np.testing.assert_array_equal(np.asarray(got_bits), bits)
+    # 3x scaling per reference `ofdmreceiver_np_mp.py:171`
+    np.testing.assert_allclose(np.asarray(chan_iq)[..., 0], 3 * wf.real,
+                               atol=1e-5)
+
+
+def test_closed_form_bpsk_matches_q_function():
+    from dl_ofdm_tpu.eval.plots import closed_form_ber
+    from scipy.special import erfc
+    snr = np.array([0.0, 5.0, 10.0])
+    got = closed_form_ber("BPSK", snr)
+    want = 0.5 * erfc(np.sqrt(10 ** (snr / 10)))
+    np.testing.assert_allclose(got, want, rtol=1e-12)
