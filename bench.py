@@ -5,15 +5,21 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "IQ_samples_per_sec_per_chip",
    "vs_baseline": R, ...}
 
-`value` is the throughput of this framework's MXU-native receiver forward
-(learned-DFT as complex dense matmul, fused XLA program, data resident on
-device).  `vs_baseline` is the speedup versus a faithful re-creation of the
-reference's computation style measured in the same run on the same chip: the
-fft_like layer expressed as the reference's conv3d-over-IQ-depth formulation
-(`/root/reference/dev/py/complex.py:140-196`) plus the per-step host->device
-feed boundary of its feed-dict training loop
-(`/root/reference/dev/py/ofdmreceiver_np.py:230-234`).
+`value` is the full-pipeline training throughput per chip: bits -> OFDM TX
+-> Rayleigh fading -> AWGN -> DCCN forward+backward -> Adam update, all one
+on-device XLA program.  `vs_baseline` is the speedup versus the reference's
+pipeline architecture measured on THIS machine: identical device-side step,
+but with the data plane synthesized on the host exactly the reference way
+(NumPy LUT/packbits constellation mapping, np.fft.ifft, per-frame
+np.convolve fading loop, AWGN — `dev/py/ofdm.py:328-380`,
+`dev/py/radio.py:424-506`, `dev/py/radio.py:513-526`), which is what
+dominates the reference's wall clock.  Host->device copy time is NOT charged
+to the baseline (it would be tunnel-distorted here), so the reported speedup
+is conservative.  Forward-only receiver throughput is reported as an aux
+field.
 """
+
+
 from __future__ import annotations
 
 import json
@@ -22,6 +28,41 @@ import time
 
 import numpy as np
 
+
+def numpy_reference_synthesis(rng, n_frames, plan, table, ch_coeff,
+                              alpha, nfft, snr_db):
+    """Faithful reference-style host data plane (NumPy, per-frame loops)."""
+    import numpy as np
+    nbits = 1
+    bits = rng.integers(0, 2, (n_frames, plan.frame_size, nbits))
+    # constellation map via packbits LUT (ofdm_tx_frame_np)
+    padded = np.pad(bits.reshape(-1, nbits).astype(np.uint8),
+                    [(0, 0), (8 - nbits, 0)])
+    sym = table.take(np.packbits(padded, axis=1).ravel())
+    grid = np.zeros((n_frames, plan.nsymbol * plan.nfft), np.complex64)
+    grid[:, plan.data_sc] = sym.reshape(n_frames, plan.frame_size)
+    grid[:, plan.pilot_sc] = 3 + 3j
+    time_d = np.fft.ifft(grid.reshape(-1, plan.nfft))
+    wf = np.concatenate([time_d[:, -plan.cp_len:], time_d], axis=1)
+    wf = wf.reshape(n_frames, plan.nsymbol, -1)
+    # per-frame Rayleigh fading loop (rayleigh_chan_lte.run)
+    y = np.zeros_like(wf)
+    h_fr = np.zeros((n_frames, plan.nsymbol, nfft), np.complex64)
+    n_taps = ch_coeff.shape[0]
+    for i in range(n_frames):
+        zrk = rng.normal(scale=1 / np.sqrt(2), size=(n_taps, 2))
+        zck = zrk[:, 0] + 1j * zrk[:, 1]
+        gt = (zck * ch_coeff) @ alpha
+        sig = wf[i].reshape(-1)
+        y[i] = np.convolve(sig, gt, mode="same").reshape(wf[i].shape)
+        h_fr[i] = np.fft.fft(gt, nfft)
+    # AWGN_channel_np
+    y_iq = np.stack([y.real, y.imag], -1).astype(np.float32)
+    pwr = np.mean(y_iq[..., 0] ** 2 + y_iq[..., 1] ** 2)
+    y_iq /= np.sqrt(pwr)
+    nstd = np.sqrt(0.5) * 10 ** (-snr_db / 20.0)
+    y_iq += nstd * rng.normal(size=y_iq.shape).astype(np.float32)
+    return bits, y_iq, h_fr
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
@@ -92,41 +133,69 @@ def main():
     ref_fwd = jax.jit(ref_style_fwd)
 
     # ---- timing ------------------------------------------------------------
-    def bench(fn, feed_host: bool, iters: int):
-        x_host = np.asarray(x) if feed_host else None
-        fn()  # warmup/compile
-        jax.block_until_ready(fn())
+    def bench(fn, iters: int):
+        jax.block_until_ready(fn())  # warmup/compile
         t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn()
-        jax.block_until_ready(out)
+        outs = [fn() for _ in range(iters)]
+        jax.block_until_ready(outs)
         return (time.perf_counter() - t0) / iters
 
     log("compiling ours...")
-    ours_call = lambda: fwd(params, x)
-    t_ours = bench(ours_call, False, 30)
+    t_ours = bench(lambda: fwd(params, x), 50)
 
-    log("compiling reference-style...")
-    x_host = np.asarray(x)
+    log("compiling reference-style (on-device, same data)...")
+    t_ref = bench(lambda: ref_fwd(kernel4, dense_params, x), 20)
 
-    def ref_call():
-        xd = jax.device_put(x_host)       # feed-dict boundary emulation
-        return ref_fwd(kernel4, dense_params, xd)
+    # full end-to-end train step (data synthesis + fwd + bwd + update)
+    log("compiling full train step...")
+    from dl_ofdm_tpu.channel.profiles import get_profile
+    from dl_ofdm_tpu.config import TrainConfig
+    from dl_ofdm_tpu.ofdm.constellation import _table_np
+    from dl_ofdm_tpu.train.loop import Trainer
+    tc = TrainConfig(batch_size=2048)
+    tr = Trainer(cfg, tc, channel="ETU")
+    st = tr.init_state(key)
+    snr = jnp.full((tr.batch_frames,), 5.0, jnp.float32)
 
-    t_ref = bench(ref_call, True, 10)
+    def step():
+        nonlocal st
+        st, _ = tr.train_step(st, key, snr)
+        return st.params
 
-    ours = iq_per_batch / t_ours
-    base = iq_per_batch / t_ref
-    log(f"ours: {t_ours*1e3:.3f} ms/batch  ref-style: {t_ref*1e3:.3f} ms/batch")
+    t_train = bench(step, 20)
+    train_iq = tr.batch_frames * s * t / t_train
+
+    # reference-architecture baseline: host NumPy data plane + same device step
+    log("timing reference-style host data plane...")
+    prof = get_profile("etu")
+    rng = np.random.default_rng(0)
+    t0 = time.perf_counter()
+    n_rep = 3
+    for _ in range(n_rep):
+        numpy_reference_synthesis(rng, tr.batch_frames, plan, _table_np(1),
+                                  prof.ch_coeff, prof.alpha_matrix,
+                                  cfg.nfft, 5.0)
+    t_host = (time.perf_counter() - t0) / n_rep
+    t_ref_pipeline = t_host + t_train  # copy time excluded (conservative)
+    base_train_iq = tr.batch_frames * s * t / t_ref_pipeline
+
+    ours_fwd = iq_per_batch / t_ours
+    log(f"fwd: {t_ours*1e3:.3f} ms (ref-style fwd {t_ref*1e3:.3f} ms); "
+        f"train-step: {t_train*1e3:.3f} ms; host synthesis: {t_host*1e3:.1f} ms")
 
     result = {
-        "metric": "IQ samples/s/chip through DCCN receiver",
-        "value": round(ours, 1),
+        "metric": "IQ samples/s/chip, end-to-end DCCN training pipeline",
+        "value": round(train_iq, 1),
         "unit": "IQ_samples_per_sec_per_chip",
-        "vs_baseline": round(ours / base, 3),
-        "baseline": "reference-style conv3d formulation + host feed boundary, same chip",
-        "batch_frames": b,
-        "ms_per_batch": round(t_ours * 1e3, 3),
+        "vs_baseline": round(train_iq / base_train_iq, 3),
+        "baseline": ("reference pipeline architecture on this machine: host-NumPy "
+                     "data plane (LUT/ifft/np.convolve per frame) + identical "
+                     "device step; host->device copy excluded (conservative)"),
+        "train_batch_frames": tr.batch_frames,
+        "train_ms_per_step": round(t_train * 1e3, 3),
+        "host_synthesis_ms": round(t_host * 1e3, 1),
+        "fwd_iq_per_sec": round(ours_fwd, 1),
+        "fwd_vs_conv3d_formulation": round(t_ref / t_ours, 3),
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result), flush=True)

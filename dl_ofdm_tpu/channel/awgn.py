@@ -28,6 +28,29 @@ def awgn_channel(key: jax.Array, x_iq: jnp.ndarray, snr_db: jnp.ndarray):
     return x_norm + noise, noise_power
 
 
+def awgn_channel_phase(key: jax.Array, x_iq: jnp.ndarray, snr_db: jnp.ndarray,
+                       eps: float = 1e-8):
+    """The reference's in-graph AWGN variant (`dev/py/radio.py:62-88`):
+    batch-normalize the input (moments over axis 0) / sqrt(2), then add noise
+    whose amplitude is |N(0, level)| with a uniform random phase split as
+    (sin, cos) across I/Q.  Built-but-bypassed in the reference graph
+    (`ofdmreceiver_np.py:136-138`); provided for capability parity."""
+    mean = jnp.mean(x_iq, axis=0, keepdims=True)
+    var = jnp.var(x_iq, axis=0, keepdims=True)
+    x_norm = (x_iq - mean) * jax.lax.rsqrt(var + eps) / jnp.sqrt(2.0)
+    snr_db = snr_db.reshape(-1, 1, 1, 1)
+    level = jnp.sqrt(0.5) * 10.0 ** (-snr_db / 20.0)
+    ka, kp = jax.random.split(key)
+    shape = x_iq.shape[:-1] + (1,)
+    amp = jnp.abs(level * jax.random.normal(ka, shape))
+    phase = jax.random.uniform(kp, shape, maxval=2 * jnp.pi)
+    noise = jnp.concatenate([amp * jnp.sin(phase), amp * jnp.cos(phase)],
+                            axis=-1)
+    y = x_norm + noise
+    noise_power = jnp.mean(noise[..., 0] ** 2 + noise[..., 1] ** 2)
+    return y, noise_power
+
+
 def awgn_channel_complex(key: jax.Array, x: jnp.ndarray, snr_db: jnp.ndarray):
     """Complex-waveform variant: x [B, S, T] complex, snr_db [B]."""
     snr_db = snr_db.reshape(-1, 1, 1)

@@ -46,6 +46,9 @@ class EqSpec:
     back_to_time: str = "cconv"   # 'cconv' | 'vector' | 'ifft' | 'dense'
     use_corr: bool = True         # concat autocorrelation feature
     cmode: str = "exact"          # complex-op mode for this variant
+    cascade: int = 0              # residual cascade steps on pilot features
+                                  # (legacy equalizer_freq/equalizer_block
+                                  # structure, `model.py:1337-1360,262-298`)
 
 
 EQUALIZER_REGISTRY: dict[int, EqSpec] = {
@@ -65,6 +68,10 @@ EQUALIZER_REGISTRY: dict[int, EqSpec] = {
               block_conv="vector", back_to_time="vector", cmode="vector"),
     9: EqSpec(),
     10: EqSpec(),
+    # extension id: legacy residual-cascade structure (equalizer_freq /
+    # equalizer_block, dev/py/model.py:1337-1360 and :262-298) exposed as a
+    # selectable variant beyond the reference's 0-10 dispatch.
+    11: EqSpec(cascade=4),
 }
 
 
@@ -108,6 +115,22 @@ class Equalizer(nn.Module):
         # -- pilot extraction + interpolation ------------------------------
         c = freq.reshape(b, s * k * 2)
         c = nn.Dense(self.pilot_size * 2, name="Dense_pilot")(c)
+        if spec.cascade > 0:
+            # residual cascade: chest_{i+1} = g(chest_{i-1} - chest_i) with a
+            # (1, P) complex smoothing conv per step; all stages concatenated
+            p_iq = self.pilot_size * 2
+            prev = c
+            cur = nn.Dense(p_iq, name="Dense_cascade0")(c)
+            stages = [prev, cur]
+            for i in range(spec.cascade):
+                nxt = nn.Dense(p_iq, name=f"Dense_cascade{i+1}")(prev - cur)
+                blk = nxt.reshape(b, 1, self.pilot_size, 1, 2)
+                blk = ComplexConv2d(1, (1, self.pilot_size), padding="same",
+                                    name=f"CascadeConv{i}")(blk)
+                nxt = blk.reshape(b, p_iq)
+                stages.append(nxt)
+                prev, cur = cur, nxt
+            c = jnp.concatenate(stages, axis=-1)
         for i, act in enumerate(spec.pre_dense_acts):
             c = nn.Dense(s * k * 2, name=f"Dense_interp{i}")(c)
             if act == "tanh":

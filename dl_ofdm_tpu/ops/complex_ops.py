@@ -35,6 +35,17 @@ import jax
 import jax.numpy as jnp
 
 
+# Route exact-mode ComplexDense through the fused Pallas kernel
+# (ops/pallas_kernels.py).  Off by default; enable globally with
+# `set_use_pallas(True)` or per-layer with `use_pallas=True`.
+_USE_PALLAS_DEFAULT = False
+
+
+def set_use_pallas(enabled: bool) -> None:
+    global _USE_PALLAS_DEFAULT
+    _USE_PALLAS_DEFAULT = bool(enabled)
+
+
 def iq_to_complex(x: jnp.ndarray) -> jnp.ndarray:
     return (x[..., 0] + 1j * x[..., 1]).astype(jnp.complex64)
 
@@ -63,6 +74,7 @@ class ComplexDense(nn.Module):
     mode: str = "exact"            # exact | vector | streams
     recombine: str = "true"        # true | reference  (exact mode only)
     use_bias: bool = True
+    use_pallas: bool | None = None  # None -> module-level default
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -71,10 +83,20 @@ class ComplexDense(nn.Module):
         k = x.shape[-2]
         f = self.features
         init = nn.initializers.lecun_normal()
+        use_pallas = (_USE_PALLAS_DEFAULT if self.use_pallas is None
+                      else self.use_pallas)
         xr, xi = x[..., 0], x[..., 1]
         if self.mode == "exact":
             wr = self.param("wr", init, (k, f))
             wi = self.param("wi", init, (k, f))
+            if use_pallas and self.recombine == "true":
+                from dl_ofdm_tpu.ops.pallas_kernels import complex_dense_iq
+                y = complex_dense_iq(x, wr, wi)
+                if self.use_bias:
+                    br = self.param("br", nn.initializers.zeros, (f,))
+                    bi = self.param("bi", nn.initializers.zeros, (f,))
+                    y = y + jnp.stack([br, bi], axis=-1)
+                return y
             yr = xr @ wr - xi @ wi
             if self.recombine == "true":
                 yi = xr @ wi + xi @ wr
@@ -118,6 +140,49 @@ def _conv2d(x: jnp.ndarray, w: jnp.ndarray, padding: str) -> jnp.ndarray:
     return jax.lax.conv_general_dilated(
         x, w, window_strides=(1, 1), padding=padding.upper(),
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+class ComplexConvTranspose2d(nn.Module):
+    """Complex transposed 2D convolution — parity with the reference's
+    `layers_conv1d_transpose_complex` / `layers_conv2d_transpose_complex`
+    (`dev/py/complex.py:95-136,359-415`, unused by the main models but part
+    of the op library surface).  Input [B, S, K, C, 2] or [B, S, K, 2]."""
+
+    features: int
+    kernel: Tuple[int, int]
+    strides: Tuple[int, int] = (1, 1)
+    padding: str = "same"
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if x.ndim == 4:
+            x = x[:, :, :, None, :]
+            squeeze = True
+        else:
+            squeeze = False
+        b, s, k, c, _ = x.shape
+        f = self.features
+        kh, kw = self.kernel
+        init = nn.initializers.lecun_normal()
+        wr = self.param("wr", init, (kh, kw, c, f))
+        wi = self.param("wi", init, (kh, kw, c, f))
+
+        def tconv(v, w):
+            return jax.lax.conv_transpose(
+                v, w, strides=self.strides, padding=self.padding.upper(),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+        xr, xi = x[..., 0].reshape(b, s, k, c), x[..., 1].reshape(b, s, k, c)
+        yr = tconv(xr, wr) - tconv(xi, wi)
+        yi = tconv(xr, wi) + tconv(xi, wr)
+        if self.use_bias:
+            yr = yr + self.param("br", nn.initializers.zeros, (f,))
+            yi = yi + self.param("bi", nn.initializers.zeros, (f,))
+        out = jnp.stack([yr, yi], axis=-1)
+        if squeeze and f == 1:
+            out = out[:, :, :, 0, :]
+        return out
 
 
 class ComplexConv2d(nn.Module):

@@ -187,3 +187,55 @@ def test_single_graph_equalized_rx():
     logits, freq, eq, chest = model.apply(p, x)
     assert logits.shape == (2, plan.frame_size, 1, 2)
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_complex_dense_pallas_flag_matches_jnp_path():
+    cfg_k, f = 80, 64
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(4, 7, cfg_k, 2)), jnp.float32)
+    key = jax.random.PRNGKey(0)
+    base = ComplexDense(f, use_pallas=False)
+    p = base.init(key, x)
+    y0 = base.apply(p, x)
+    pl_layer = ComplexDense(f, use_pallas=True)
+    # pallas path uses br/bi params like the jnp 'true' path -> same tree
+    y1 = pl_layer.apply(p, x)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_cascade_equalizer_variant():
+    cfg = OFDMConfig()
+    plan = build_plan(cfg)
+    model = Equalizer(nfft=cfg.nfft, cp_len=plan.cp_len, nsymbol=plan.nsymbol,
+                      pilot_size=plan.pilot_size,
+                      pilot_carriers=tuple(plan.pilot_carriers),
+                      spec=EQUALIZER_REGISTRY[11])
+    x = _mk_input(plan, b=2)
+    p = model.init(jax.random.PRNGKey(0), x)
+    eq, snr_db, chest = model.apply(p, x)
+    assert eq.shape == (2, plan.nsymbol, plan.samples_per_symbol, 2)
+    assert "Dense_cascade0" in p["params"]
+    assert "CascadeConv3" in p["params"]
+
+
+def test_complex_conv_transpose():
+    from dl_ofdm_tpu.ops.complex_ops import ComplexConvTranspose2d
+    x = jnp.ones((2, 7, 64, 2), jnp.float32)
+    layer = ComplexConvTranspose2d(1, (3, 5))
+    p = layer.init(jax.random.PRNGKey(0), x)
+    y = layer.apply(p, x)
+    assert y.shape == (2, 7, 64, 2)
+
+
+def test_awgn_phase_variant():
+    from dl_ofdm_tpu.channel.awgn import awgn_channel_phase
+    key = jax.random.PRNGKey(0)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(32, 7, 80, 2)),
+                    jnp.float32)
+    y, npow = awgn_channel_phase(key, x, jnp.full((32,), 10.0))
+    assert y.shape == x.shape
+    # the in-graph variant's total complex noise power is level^2 =
+    # 0.5*10^(-SNR/10) — half of the NumPy main path (reference quirk:
+    # amplitude drawn once and split across I/Q via sin/cos)
+    assert float(npow) == pytest.approx(0.5 * 10 ** (-10 / 10), rel=0.2)
