@@ -120,24 +120,32 @@ def np_convolve_same_reference(x: np.ndarray, h: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def _prealign(x: jnp.ndarray, offsets: np.ndarray, f_max: int) -> jnp.ndarray:
-    """xa[b, m, :] = x[b, m + off_b - (f_max-1), :], zero-padded OOB.
+def _prealign_plane(xp: jnp.ndarray, offsets: np.ndarray, out_len: int):
+    """xa[b, m] = xp[b, m + off_b] for a pre-padded plane xp [B, Lp].
 
-    x: [B, L, 2]; offsets: static int array [B].  Returns [B, L+f_max-1, 2].
-    """
-    b, l, _ = x.shape
-    pad = f_max - 1
-    xp = jnp.pad(x, ((0, 0), (pad, pad), (0, 0)))
-    m = np.arange(l + f_max - 1)[None, :]
-    idx = m + np.asarray(offsets)[:, None]           # + pad - (f_max-1) == +0
-    idx = jnp.asarray(idx[..., None], jnp.int32)
-    return jnp.take_along_axis(xp, jnp.broadcast_to(idx, (b, l + f_max - 1, 2)),
-                               axis=1)
+    Offsets take at most a handful of distinct values (one per 3GPP profile),
+    so this is a static slice per distinct offset combined with a where-mask —
+    no device gather (TPU gathers are slow compared to slices+selects)."""
+    offsets = np.asarray(offsets)
+    uniq = np.unique(offsets)
+    if len(uniq) == 1:
+        off = int(uniq[0])
+        return jax.lax.slice_in_dim(xp, off, off + out_len, axis=1)
+    out = jnp.zeros((xp.shape[0], out_len), xp.dtype)
+    for off in uniq:
+        sl = jax.lax.slice_in_dim(xp, int(off), int(off) + out_len, axis=1)
+        mask = jnp.asarray((offsets == off)[:, None])
+        out = jnp.where(mask, sl, out)
+    return out
 
 
 def fir_same_iq(x: jnp.ndarray, h: jnp.ndarray,
                 offsets: np.ndarray) -> jnp.ndarray:
     """np.convolve(x_b, h_b, 'same') per row, real-pair, static offsets.
+
+    Internally planar (separate re/im [B, L] arrays) so the time axis sits on
+    the 128-lane dimension — operating on the interleaved [..., 2] layout
+    would waste most of the VPU lanes/bandwidth in the tap loop.
 
     Args:
       x: [B, L, 2]; h: [B, F, 2] (zero-padded kernels of a common length);
@@ -146,22 +154,27 @@ def fir_same_iq(x: jnp.ndarray, h: jnp.ndarray,
     """
     b, l, _ = x.shape
     f = h.shape[1]
-    xa = _prealign(x, offsets, f)                    # [B, L+F-1, 2]
+    pad = f - 1
+    xr = jnp.pad(x[..., 0], ((0, 0), (pad, pad)))
+    xi = jnp.pad(x[..., 1], ((0, 0), (pad, pad)))
+    xar = _prealign_plane(xr, offsets, l + f - 1)    # [B, L+F-1]
+    xai = _prealign_plane(xi, offsets, l + f - 1)
     out_r = jnp.zeros((b, l), x.dtype)
     out_i = jnp.zeros((b, l), x.dtype)
     for k in range(f):
         s = f - 1 - k
-        xs = jax.lax.slice_in_dim(xa, s, s + l, axis=1)
+        sr = jax.lax.slice_in_dim(xar, s, s + l, axis=1)
+        si = jax.lax.slice_in_dim(xai, s, s + l, axis=1)
         hr = h[:, k, 0:1]
         hi = h[:, k, 1:2]
-        out_r = out_r + xs[..., 0] * hr - xs[..., 1] * hi
-        out_i = out_i + xs[..., 0] * hi + xs[..., 1] * hr
+        out_r = out_r + sr * hr - si * hi
+        out_i = out_i + sr * hi + si * hr
     return jnp.stack([out_r, out_i], axis=-1)
 
 
 def fir_per_symbol_iq(tx: jnp.ndarray, h_sym: jnp.ndarray, n_taps: int,
                       offsets: np.ndarray) -> jnp.ndarray:
-    """Per-symbol time-varying FIR, real-pair, static offsets.
+    """Per-symbol time-varying FIR, real-pair, static offsets (planar inside).
 
     Same semantics as `fir_per_symbol` (reference `dev/py/radio.py:399-421`):
     n_taps look-back history from the previous symbols, zero future.
@@ -172,28 +185,38 @@ def fir_per_symbol_iq(tx: jnp.ndarray, h_sym: jnp.ndarray, n_taps: int,
     """
     b, s, n_sc, _ = tx.shape
     f = h_sym.shape[2]
-    flat = tx.reshape(b, s * n_sc, 2)
-    pre = jnp.pad(flat, ((0, 0), (n_taps, 0), (0, 0)))
-    # windows[i] = pre[n_sc*i : n_taps + n_sc*(i+1)]
-    starts = np.arange(s) * n_sc
-    widx = starts[:, None] + np.arange(n_taps + n_sc)[None, :]
-    win = pre[:, widx]                               # [B, S, n_taps+n_sc, 2]
-    # pad and pre-align so out[n] = sum_k h[k] * wa[n + n_taps + F - 1 - k]
-    wpad = jnp.pad(win, ((0, 0), (0, 0), (f, f), (0, 0)))
     wlen = n_taps + n_sc + f
-    m = np.arange(wlen)[None, None, :]
-    idx = m + np.asarray(offsets)[:, None, None] + 1  # +f pad -(f-1) == +1
-    idx = jnp.asarray(idx[..., None], jnp.int32)
-    wa = jnp.take_along_axis(wpad, jnp.broadcast_to(idx, (b, s, wlen, 2)),
-                             axis=2)                 # [B, S, wlen, 2]
+    uniq = np.unique(np.asarray(offsets))
+
+    def plane(p):
+        pre = jnp.pad(p.reshape(b, s * n_sc), ((0, 0), (n_taps, 0)))
+        # stack of S static window slices (no gather)
+        win = jnp.stack(
+            [jax.lax.slice_in_dim(pre, i * n_sc, i * n_sc + n_taps + n_sc,
+                                  axis=1) for i in range(s)], axis=1)
+        wpad = jnp.pad(win, ((0, 0), (0, 0), (f, f)))
+        if len(uniq) == 1:
+            off = int(uniq[0]) + 1
+            return jax.lax.slice_in_dim(wpad, off, off + wlen, axis=2)
+        out = jnp.zeros((b, s, wlen), p.dtype)
+        for off in uniq:
+            sl = jax.lax.slice_in_dim(wpad, int(off) + 1,
+                                      int(off) + 1 + wlen, axis=2)
+            mask = jnp.asarray((np.asarray(offsets) == off)[:, None, None])
+            out = jnp.where(mask, sl, out)
+        return out
+
+    war = plane(tx[..., 0])
+    wai = plane(tx[..., 1])
     out_r = jnp.zeros((b, s, n_sc), tx.dtype)
     out_i = jnp.zeros((b, s, n_sc), tx.dtype)
     base = n_taps + f - 1
     for k in range(f):
         st = base - k
-        xs = jax.lax.slice_in_dim(wa, st, st + n_sc, axis=2)
+        sr = jax.lax.slice_in_dim(war, st, st + n_sc, axis=2)
+        si = jax.lax.slice_in_dim(wai, st, st + n_sc, axis=2)
         hr = h_sym[:, :, k, 0:1]
         hi = h_sym[:, :, k, 1:2]
-        out_r = out_r + xs[..., 0] * hr - xs[..., 1] * hi
-        out_i = out_i + xs[..., 0] * hi + xs[..., 1] * hr
+        out_r = out_r + sr * hr - si * hi
+        out_i = out_i + sr * hi + si * hr
     return jnp.stack([out_r, out_i], axis=-1)

@@ -79,16 +79,19 @@ class RayleighChannel:
 
         self.max_taps = max(p.n_taps for p in profiles)
         self.max_fir = max(p.n_fir for p in profiles)
-        self._coeff = jnp.asarray(np.stack(
-            [_pad_to(p.ch_coeff, (self.max_taps,)) for p in profiles]),
-            dtype=jnp.float32)                      # [P, max_taps]
-        self._alpha = jnp.asarray(np.stack(
+        # host-side (NumPy) tables: per-frame profile structure is static, so
+        # all per-frame parameter selection happens at trace time as baked
+        # constants — no device gathers in the channel.
+        self._coeff_np = np.stack(
+            [_pad_to(p.ch_coeff, (self.max_taps,)) for p in profiles]
+        ).astype(np.float32)                        # [P, max_taps]
+        self._alpha_np = np.stack(
             [_pad_to(p.alpha_matrix, (self.max_taps, self.max_fir))
-             for p in profiles]), dtype=jnp.float32)  # [P, max_taps, max_fir]
+             for p in profiles]).astype(np.float32)  # [P, max_taps, max_fir]
         self._offset_np = np.asarray([p.same_offset for p in profiles],
                                      dtype=np.int32)
         fd = [p.fd_mobile if mobile else 0.0 for p in profiles]
-        self._fd = jnp.asarray(fd, dtype=jnp.float32)
+        self._fd_np = np.asarray(fd, dtype=np.float32)
         # Python-level: does any frame ever take the Doppler path?
         self.has_doppler = mobile and any(f > 0.1 for f in fd) and \
             (self.mix or len(profiles) == 1)
@@ -104,7 +107,7 @@ class RayleighChannel:
         """Which frames take the Doppler path (static bool mask)."""
         if not self.mobile:
             return np.zeros(n_frames, dtype=bool)
-        fd = np.asarray(self._fd)[prof_idx]
+        fd = self._fd_np[prof_idx]
         if self.channel == "mixrayleigh":
             sel = (np.arange(n_frames) % 3 == 0) & self.mix
         elif self.channel == "mixall":
@@ -119,12 +122,11 @@ class RayleighChannel:
         b, s, n_sc, _ = tx.shape
         prof_idx = self._frame_profiles(b)
         dop_mask = self._frame_doppler_mask(b, prof_idx)
-        prof = jnp.asarray(prof_idx)
 
-        coeff = self._coeff[prof]                  # [B, max_taps]
-        alpha = self._alpha[prof]                  # [B, max_taps, max_fir]
-        offsets = self._offset_np[prof_idx]        # static [B]
-        passthrough = jnp.asarray(self._passthrough)[prof]  # [B] bool
+        coeff = jnp.asarray(self._coeff_np[prof_idx])   # [B, max_taps] const
+        alpha = jnp.asarray(self._alpha_np[prof_idx])   # [B, taps, fir] const
+        offsets = self._offset_np[prof_idx]             # static [B]
+        passthrough = jnp.asarray(self._passthrough[prof_idx])  # [B] const
 
         k_static, k_dop = jax.random.split(key)
 
@@ -134,7 +136,7 @@ class RayleighChannel:
         zck = jnp.broadcast_to(zck_static[:, None], (b, s, self.max_taps, 2))
 
         if self.has_doppler and dop_mask.any():
-            fd = self._fd[prof]
+            fd = jnp.asarray(self._fd_np[prof_idx])
             t_sym = n_sc / self.sample_rate
             t = jnp.arange(s, dtype=jnp.float32) * t_sym
             zck_dop = jakes_gains_iq(k_dop, fd, t, self.max_taps)
