@@ -49,28 +49,55 @@ def ber_sweep(trainer, params, key: jax.Array,
               log_fn=print) -> SweepResult:
     """Run the BER sweep with on-device data generation.
 
-    `trainer` provides the jitted `eval_step`; any Trainer-like object works
-    (basic receiver or equalized receiver, any channel).
+    All SNR points are interleaved into shared batches (the channel already
+    supports a per-frame SNR vector), so the whole sweep is
+    `frames_per_point * n_snrs / batch` invocations of ONE compiled program
+    — per-point error counts come back as a segment sum over the SNR index.
     """
     snrs = list(snrs)
-    bers, losses = [], []
-    n_batches = max(1, frames_per_point // batch_frames)
-    for snr in snrs:
-        conf = jnp.zeros((2, 2), jnp.int32)
-        ce_sum = 0.0
-        for i in range(n_batches):
-            key, k = jax.random.split(key)
-            aux = trainer.eval_step(
-                params, k, batch_frames,
-                jnp.full((batch_frames,), float(snr), jnp.float32))
-            conf = conf + aux["conf"]
-            ce_sum += float(aux["ce"])
-        total = int(conf.sum())
-        errors = int(conf[0, 1] + conf[1, 0])
-        ber = errors / max(total, 1)
-        loss = ce_sum / n_batches
-        bers.append(ber)
-        losses.append(loss)
+    n_pts = len(snrs)
+    snr_vec = jnp.asarray(np.repeat(np.asarray(snrs, np.float32),
+                                    max(1, batch_frames // n_pts)))
+    frames_per_call = snr_vec.shape[0]
+    point_idx = jnp.asarray(np.repeat(np.arange(n_pts),
+                                      max(1, batch_frames // n_pts)))
+
+    onehot = jnp.asarray(
+        np.eye(n_pts, dtype=np.float32)[np.asarray(point_idx)])
+
+    @jax.jit
+    def sweep_batch(params, key):
+        bits, rx_in, _, _, _ = trainer.synthesize(
+            key, frames_per_call, snr_vec, norm_groups=onehot)
+        logits, *_ = trainer.model.apply({"params": params}, rx_in)
+        pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        err_per_frame = jnp.sum((pred != bits).astype(jnp.int32),
+                                axis=(1, 2))
+        errors = jax.ops.segment_sum(err_per_frame, point_idx,
+                                     num_segments=n_pts)
+        # per-point mean CE
+        z = logits.reshape(logits.shape[0], -1, 2)
+        logp = jax.nn.log_softmax(z, axis=-1)
+        y1h = jax.nn.one_hot(bits.reshape(bits.shape[0], -1), 2,
+                             dtype=logp.dtype)
+        ce_frame = -jnp.mean(jnp.sum(y1h * logp, axis=-1), axis=1)
+        ce = jax.ops.segment_sum(ce_frame, point_idx, num_segments=n_pts)
+        return errors, ce
+
+    frames_per_pt_call = frames_per_call // n_pts
+    n_calls = max(1, frames_per_point // frames_per_pt_call)
+    tot_err = np.zeros(n_pts, np.int64)
+    tot_ce = np.zeros(n_pts, np.float64)
+    for _ in range(n_calls):
+        key, k = jax.random.split(key)
+        errors, ce = sweep_batch(params, k)
+        tot_err += np.asarray(errors, np.int64)
+        tot_ce += np.asarray(ce, np.float64)
+    bits_per_frame = trainer.plan.frame_size * trainer.cfg.nbits
+    total_bits = n_calls * frames_per_pt_call * bits_per_frame
+    bers = tot_err / total_bits
+    losses = tot_ce / (n_calls * frames_per_pt_call)
+    for snr, ber, loss in zip(snrs, bers, losses):
         log_fn(f"SNR: {snr:.2f}, BER: {ber:.8f}, Loss: {loss:f}")
     return SweepResult(np.asarray(snrs, dtype=float), np.asarray(bers),
                        np.asarray(losses))

@@ -94,8 +94,12 @@ class Trainer:
                           step=jnp.zeros((), jnp.int32))
 
     # -- data pipeline (on device) ------------------------------------------
-    def synthesize(self, key: jax.Array, n_frames: int, snr_db: jnp.ndarray):
-        """bits -> waveform -> fading -> AWGN -> normalized receiver input."""
+    def synthesize(self, key: jax.Array, n_frames: int, snr_db: jnp.ndarray,
+                   norm_groups: jnp.ndarray | None = None):
+        """bits -> waveform -> fading -> AWGN -> normalized receiver input.
+
+        `norm_groups` [B, G] one-hot: per-group batch-norm statistics (used by
+        the interleaved-SNR sweep for per-SNR-point protocol parity)."""
         kb, kc, kn = jax.random.split(key, 3)
         bits = jax.random.bernoulli(
             kb, 0.5, (n_frames, self.plan.frame_size, self.cfg.nbits)
@@ -103,7 +107,7 @@ class Trainer:
         wf = self.tx(bits)                       # [B, S, K+CP, 2]
         ch = self.channel(kc, wf)
         y_iq, noise_pwr = awgn_channel(kn, ch.y, snr_db)
-        rx_in = batch_norm_ref(y_iq)             # the reference 'input' tensor
+        rx_in = batch_norm_ref(y_iq, group_onehot=norm_groups)
         return bits, rx_in, ch.h_freq, noise_pwr, wf
 
     # -- loss ----------------------------------------------------------------

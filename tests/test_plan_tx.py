@@ -102,3 +102,18 @@ def test_tx_iq_real_path_matches_complex_path(rng):
         got = np.asarray(ofdm_modulate_frames_iq(bits, plan))
         np.testing.assert_allclose(got[..., 0], want.real, atol=2e-5)
         np.testing.assert_allclose(got[..., 1], want.imag, atol=2e-5)
+
+
+def test_v1_archive_config_8sym_scattered():
+    """The v1 archive used 8 OFDM symbols/frame with scattered pilots
+    (`test_v1/OFDM_Benchmark.m`, SURVEY M10); the plan must support it."""
+    cfg = OFDMConfig(nsymbol=8, pilot="scattered", npilot=8, nguard=8)
+    plan = build_plan(cfg)
+    n_total = plan.nfft * plan.nsymbol
+    parts = np.concatenate([plan.data_sc, plan.pilot_sc, plan.guard_sc])
+    assert len(np.unique(parts)) == len(parts)
+    assert len(parts) == n_total
+    rng = np.random.default_rng(0)
+    bits = rng.integers(0, 2, (3, plan.frame_size, 1))
+    wf = ofdm_modulate_frames(bits, plan)
+    assert wf.shape == (3, 8, plan.samples_per_symbol)

@@ -113,3 +113,28 @@ def test_curriculum_snr_distribution():
     # mode of the pmf is 21 dB with p=0.5
     frac_21 = np.mean(np.isclose(s, 21.0))
     assert 0.45 < frac_21 < 0.55
+
+
+def test_vectorized_ber_sweep_consistency():
+    """The interleaved-SNR sweep must show monotone BER and match a direct
+    eval at one point within statistical tolerance."""
+    from dl_ofdm_tpu.eval.sweep import ber_sweep
+    from dl_ofdm_tpu.train.loop import Trainer
+
+    cfg = OFDMConfig(nbits=1)
+    tc = TrainConfig(batch_size=224, snr=10.0)
+    tr = Trainer(cfg, tc, channel="AWGN")
+    key = jax.random.PRNGKey(0)
+    key, k0 = jax.random.split(key)
+    state = tr.init_state(k0)
+    snr = jnp.full((tr.batch_frames,), tc.snr, jnp.float32)
+    for i in range(120):
+        key, k = jax.random.split(key)
+        state, _ = tr.train_step(state, k, snr)
+    res = ber_sweep(tr, state.params, jax.random.PRNGKey(5),
+                    snrs=[0, 5, 10], frames_per_point=600,
+                    batch_frames=300, log_fn=lambda *a: None)
+    assert res.ber[0] > res.ber[1] >= res.ber[2]
+    direct = tr.eval_step(state.params, jax.random.PRNGKey(6), 600,
+                          jnp.full((600,), 10.0, jnp.float32))
+    assert res.ber[2] == pytest.approx(float(direct["ber"]), abs=0.02)
