@@ -100,9 +100,19 @@ class MatlabLink:
         coeff = jnp.asarray(p.ch_coeff, jnp.float32)
         alpha = jnp.asarray(p.alpha_matrix, jnp.float32)
         if self.fd > 0.1:
+            # MATLAB's mobile ground truth averages G over the sample
+            # instants within each symbol (`OFDM_Benchmark_dev.m:303-309`);
+            # the DFT is linear in the gains, so average the Jakes gains at
+            # `n_sub` intra-symbol instants (the filtering itself uses the
+            # symbol-averaged kernel — a documented approximation of
+            # MATLAB's per-sample time-varying filter).
+            n_sub = 8
             t_sym = n_sc / plan.sample_rate
-            t = jnp.arange(s, dtype=jnp.float32) * t_sym
-            zck = jakes_gains_iq(key, jnp.full((b,), self.fd), t, p.n_taps)
+            t = (jnp.arange(s * n_sub, dtype=jnp.float32) *
+                 (t_sym / n_sub))
+            z_fine = jakes_gains_iq(key, jnp.full((b,), self.fd), t,
+                                    p.n_taps)          # [B, S*n_sub, taps, 2]
+            zck = z_fine.reshape(b, s, n_sub, p.n_taps, 2).mean(axis=2)
         else:
             z = jax.random.normal(key, (b, p.n_taps, 2)) / np.sqrt(2.0)
             zck = jnp.broadcast_to(z[:, None], (b, s, p.n_taps, 2))

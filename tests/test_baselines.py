@@ -188,3 +188,12 @@ def test_closed_form_bpsk_matches_q_function():
     got = closed_form_ber("BPSK", snr)
     want = 0.5 * erfc(np.sqrt(10 ** (snr / 10)))
     np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+def test_matlab_link_mobile_runs():
+    plan = build_plan(OFDMConfig())
+    link = MatlabLink(plan, 2, "eva", mobile=True)
+    assert link.fd == 70.0
+    ctx = get_context(plan, "eva")
+    ber, _ = run_point(link, ctx, 2, jax.random.PRNGKey(9), 15.0, 60)
+    assert np.isfinite(ber) and ber < 0.4
