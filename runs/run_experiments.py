@@ -50,13 +50,15 @@ def train_awgn(nbits: int, snr: float, epochs: int):
         f"{res.ber[list(res.snr).index(snr)]:.6f}")
 
 
-def train_equalizer(epochs: int):
-    nbits, opt, chan = 1, 0, "mixRayleigh"
+def train_equalizer(epochs: int, mobile: bool = False, opt: int = 0):
+    nbits, chan = 1, "mixRayleigh"
     token = f"OFDM_Dense3_{nbits}mod_snr5_cpTrue"
+    suffix = "_mobile" if mobile else ""
     done = os.path.join(
-        RUNS, f"Test_DCCN_{token}_Equalizer{opt}_{chan}_test_chan_Custom.csv")
+        RUNS, f"Test_DCCN_{token}_Equalizer{opt}_{chan}"
+              f"_test_chan_Custom{suffix}.csv")
     if os.path.isfile(done):
-        log("skip equalizer (csv exists)")
+        log(f"skip equalizer{suffix} opt={opt} (csv exists)")
         return
     cfg = OFDMConfig(nbits=nbits)
     tc = TrainConfig(snr=5.0, batch_size=512, max_epoch_num=epochs,
@@ -64,23 +66,24 @@ def train_equalizer(epochs: int):
     base = Trainer(cfg, tc, channel="AWGN")
     base_state = ckpt.restore(os.path.join(RUNS, token),
                               base.init_state(jax.random.PRNGKey(0)))
-    eq = EqualizerTrainer(cfg, tc, channel=chan,
+    eq = EqualizerTrainer(cfg, tc, channel=chan, mobile=mobile,
                           pretrained_rx=base_state.params)
     t0 = time.time()
     state, info = eq.fit(log_fn=lambda *a: None)
-    log(f"equalizer: trained best={info['best_epoch']} "
+    log(f"equalizer{suffix} opt={opt}: trained best={info['best_epoch']} "
         f"in {time.time()-t0:.0f}s loss={info['best_loss']:.5f}")
-    ckpt.save(os.path.join(RUNS, f"{token}_Equalizer{opt}_{chan}"), state)
+    ckpt.save(os.path.join(RUNS, f"{token}_Equalizer{opt}_{chan}{suffix}"),
+              state)
 
-    def make_trainer(test_chan, mobile):
-        return EqualizerTrainer(cfg, tc, channel=test_chan, mobile=mobile,
+    def make_trainer(test_chan, mob):
+        return EqualizerTrainer(cfg, tc, channel=test_chan, mobile=mob,
                                 pretrained_rx=base_state.params)
 
     cross_channel_sweep(make_trainer, state.params, jax.random.PRNGKey(777),
-                        token, opt, chan, mobile=False, save_dir=RUNS,
+                        token, opt, chan, mobile=mobile, save_dir=RUNS,
                         frames_per_point=30000, batch_frames=3000,
                         log_fn=lambda *a: None)
-    log("equalizer: cross-channel sweeps done")
+    log(f"equalizer{suffix} opt={opt}: cross-channel sweeps done")
 
 
 def classical_curves():
@@ -105,4 +108,6 @@ if __name__ == "__main__":
     train_awgn(3, 15.0, 500)
     train_equalizer(600)
     classical_curves()
+    # mobility (Doppler) configuration — BASELINE config #4
+    train_equalizer(600, mobile=True)
     log("ALL DONE")
