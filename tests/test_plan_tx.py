@@ -117,3 +117,19 @@ def test_v1_archive_config_8sym_scattered():
     bits = rng.integers(0, 2, (3, plan.frame_size, 1))
     wf = ofdm_modulate_frames(bits, plan)
     assert wf.shape == (3, 8, plan.samples_per_symbol)
+
+
+@pytest.mark.parametrize("nfft", [128, 512, 2048])
+def test_large_fft_plans(nfft):
+    """Production-scale LTE grids (up to 20 MHz / nfft=2048) plan correctly."""
+    cfg = OFDMConfig(nfft=nfft)
+    plan = build_plan(cfg)
+    n_total = plan.nfft * plan.nsymbol
+    parts = np.concatenate([plan.data_sc, plan.pilot_sc, plan.guard_sc])
+    assert len(np.unique(parts)) == len(parts) == n_total
+    assert plan.n_pilot == 2 * plan.n_rb
+    # modulate a couple of frames end to end
+    rng = np.random.default_rng(0)
+    bits = rng.integers(0, 2, (2, plan.frame_size, 1))
+    wf = ofdm_modulate_frames(bits, plan)
+    assert wf.shape == (2, 7, plan.samples_per_symbol)
