@@ -115,7 +115,8 @@ def precompute_prior_w(rhh: np.ndarray, beta: float, snr_lin: float):
 def precompute_longterm_w(g: jnp.ndarray, beta: float, snr_lin: float):
     """Fast-LMMSE W from the realized ensemble G [B, S, K, 2]
     (`OFDM_Benchmark_dev.m:319-321,342`)."""
-    gc = np.asarray(g[..., 0] + 1j * g[..., 1])
+    g_host = np.asarray(g)   # to host first — the TPU has no complex dtype
+    gc = g_host[..., 0] + 1j * g_host[..., 1]
     cols = gc.reshape(-1, gc.shape[-1]).T                      # [K, B*S]
     rhh = (cols @ cols.conj().T) / cols.shape[1]
     return precompute_prior_w(rhh, beta, snr_lin)
