@@ -1,0 +1,149 @@
+"""Orchestration-layer tests: CLI flag parity, checkpoint I/O, sweep-runner
+resume semantics, observability counters, mesh construction.
+
+Covers the reference's driver surface (`dev/py/run_local_ofdm.py`,
+`dev/py/locals.py`, `tf.app.flags` parsing, TF1 Saver) that the experiment
+scripts exercise only end-to-end on the chip.
+"""
+import glob
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dl_ofdm_tpu import cli
+from dl_ofdm_tpu.config import OFDMConfig, TrainConfig
+from dl_ofdm_tpu.train import checkpoint as ckpt
+
+
+def _parse(argv):
+    """Run cli's parser alone (no command execution)."""
+    import argparse
+    parser = argparse.ArgumentParser()
+    sub = parser.add_subparsers(dest="cmd", required=True)
+    for name in ("train", "equalizer", "baseline", "sweep"):
+        p = sub.add_parser(name)
+        cli._add_common(p)
+    return parser.parse_args(argv)
+
+
+class TestCLI:
+    def test_flag_parity_defaults(self):
+        args = _parse(["train"])
+        cfg, tc = cli._configs(args)
+        # reference defaults: ofdmreceiver_np.py:30-53
+        assert cfg == OFDMConfig()
+        assert tc.snr == 3.0 and tc.batch_size == 512
+        assert tc.early_stop == 100 and tc.init_learning == 1e-3
+
+    def test_bool_strings_parse_like_tf_flags(self):
+        args = _parse(["train", "--cp=False", "--longcp=false",
+                       "--mobile=True"])
+        cfg, _ = cli._configs(args)
+        assert cfg.cp is False and cfg.longcp is False
+        assert args.mobile is True
+
+    def test_full_flag_roundtrip(self):
+        args = _parse([
+            "equalizer", "--nbits=2", "--nfft=128", "--SNR=7.5",
+            "--channel=mixRayleigh", "--opt=3", "--token=tok",
+            "--save_dir=/tmp/x", "--max_epoch_num=17"])
+        cfg, tc = cli._configs(args)
+        assert cfg.nbits == 2 and cfg.nfft == 128
+        assert tc.snr == 7.5 and tc.opt == 3 and tc.token == "tok"
+        assert tc.save_dir == "/tmp/x" and tc.max_epoch_num == 17
+
+
+class TestCheckpoint:
+    def test_token_name_schema(self):
+        # run_local_ofdm.py:77,104 naming
+        assert (ckpt.token_name("OFDM_Dense3", 1, 5.0, True)
+                == "OFDM_Dense3_1mod_snr5_cpTrue")
+        assert (ckpt.token_name("OFDM_Dense3", 1, 5.0, True, opt=2,
+                                channel="mixRayleigh")
+                == "OFDM_Dense3_1mod_snr5_cpTrue_Equalizer2_mixRayleigh")
+
+    def test_save_restore_roundtrip(self, tmp_path):
+        from dl_ofdm_tpu.train.loop import Trainer
+        cfg = OFDMConfig(nbits=1)
+        tc = TrainConfig(batch_size=14, msg_length=98)
+        tr = Trainer(cfg, tc, channel="AWGN")
+        state = tr.init_state(jax.random.PRNGKey(3))
+        path = ckpt.save(str(tmp_path / "tok"), state)
+
+        # restore into a differently-initialized target: values must come back
+        other = tr.init_state(jax.random.PRNGKey(4))
+        restored = ckpt.restore(path, other)
+        for a, b in zip(jax.tree.leaves(state.params),
+                        jax.tree.leaves(restored.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert int(restored.step) == int(state.step)
+
+
+class TestRunnerResume:
+    def test_sweep_skips_existing_csvs(self, tmp_path):
+        """With every result CSV present, the full grid is a fast no-op
+        (resume-by-existence parity, run_local_ofdm.py:82-90,110-118)."""
+        from dl_ofdm_tpu.runner import run_sweep
+        save_dir = str(tmp_path)
+        result_dir = tmp_path / "results"
+        result_dir.mkdir()
+        for nbits in (1, 2, 3, 4):
+            for cp in (False, True):
+                tok = f"OFDM_Dense3_{nbits}mod_snr{5 * nbits}_cp{cp}"
+                (result_dir / f"Test_DCCN_{tok}_AWGN.csv").write_text("x")
+        for cp in (True, False):
+            tok = f"OFDM_Dense3_1mod_snr5_cp{cp}"
+            (result_dir /
+             f"Test_DCCN_{tok}_Equalizer0_mixRayleigh_test_chan_Custom.csv"
+             ).write_text("x")
+        logs = []
+        run_sweep(awgn=True, save_dir=save_dir, quick=True,
+                  log_fn=logs.append)
+        assert logs and all("skip" in line for line in logs)
+        # nothing trained: no checkpoints appeared
+        assert not glob.glob(os.path.join(save_dir, "OFDM_Dense3*"))
+
+
+class TestObservability:
+    def test_throughput_counter(self):
+        from dl_ofdm_tpu.utils.observability import Throughput
+        tp = Throughput()
+        with tp.stage("channel", 1000):
+            pass
+        with tp.stage("channel", 500):
+            pass
+        rep = tp.report()
+        assert rep["channel"] > 0 and tp.samples["channel"] == 1500
+
+    def test_constellation_dump_schema(self, tmp_path):
+        from dl_ofdm_tpu.utils.observability import dump_constellation
+        tx = np.random.default_rng(0).normal(size=(64, 2))
+        rx = tx + 0.1
+        paths = dump_constellation("tok", tx, rx, out_dir=str(tmp_path))
+        assert [os.path.basename(p) for p in paths] == [
+            "tok_txiq.csv", "tok_rxiq.csv"]
+        back = np.loadtxt(paths[0], delimiter=",")
+        np.testing.assert_allclose(back, tx.astype(np.float16), atol=1e-3)
+
+
+class TestMesh:
+    def test_make_mesh_rejects_bad_factorization(self):
+        from dl_ofdm_tpu.parallel.mesh import make_mesh
+        with pytest.raises(ValueError):
+            make_mesh(jax.devices()[:3], tp=2)
+
+    def test_small_layers_stay_replicated(self):
+        """Sharding rules drop axes that don't divide the mesh size."""
+        from jax.sharding import PartitionSpec as P
+        from dl_ofdm_tpu.parallel.mesh import make_mesh, shard_params
+        mesh = make_mesh(jax.devices()[:8], tp=4)
+        params = {"fft_like": {"wr": jnp.zeros((64, 64)),   # 64 % 4 == 0
+                               "br": jnp.zeros((3,))}}      # 3 % 4 != 0
+        out = shard_params(mesh, params)
+        wr_spec = out["fft_like"]["wr"].sharding.spec
+        br_spec = out["fft_like"]["br"].sharding.spec
+        assert wr_spec == P(None, "tp")
+        assert br_spec == P()
