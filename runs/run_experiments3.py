@@ -80,6 +80,11 @@ def train_awgn_variant(nbits: int, snr: float, epochs: int, *,
 
 
 if __name__ == "__main__":
+    # 0. complete the reference estimator grid (script_rayleigh.m uses
+    #    eq_idx {1,2,4,5,7,10}; 5=LS-Quadeer CP-enhanced, 7=ALMMSE)
+    for chan in ("EVA", "ETU"):
+        for eq_idx in (5, 7):
+            classical(chan, eq_idx)
     # 1. mobile classical baselines (pairs with the mobile DCCN-EQ curves)
     for chan in ("EVA", "ETU"):
         for eq_idx in (1, 2, 4, 10):

@@ -70,18 +70,35 @@ def bench_width(n_dev: int, frames_per_dev: int = 64, iters: int = 10):
 
 
 def main():
+    # weak scaling at a production per-device batch (tiny batches measure
+    # only the CPU-emulation collective rendezvous, not the sharded program)
+    frames_per_dev = int(os.environ.get("SCALING_FRAMES_PER_DEV", "512"))
     results = {}
     base = None
     for n in (1, 2, 4, 8):
         if n > len(jax.devices()):
             break
-        thr, dt = bench_width(n)
+        thr, dt = bench_width(n, frames_per_dev=frames_per_dev)
         results[n] = thr
         if base is None:
             base = thr
         eff = thr / (base * n)
-        print(f"{n} device(s): {dt*1e3:8.2f} ms/step  "
-              f"{thr:.3e} IQ/s  scaling-efficiency {eff*100:5.1f}%")
+        line = (f"{n} device(s) x {frames_per_dev} frames: "
+                f"{dt*1e3:8.2f} ms/step  {thr:.3e} IQ/s  "
+                f"weak-scaling efficiency {eff*100:5.1f}%")
+        if jax.default_backend() == "cpu" and n > 1:
+            # virtual devices divide one fixed host thread pool, so the
+            # compute-bound weak-scaling ceiling is 1/n; efficiency above
+            # that ceiling means the sharded program (collectives included)
+            # adds no overhead of its own.
+            line += f"  (shared-core ceiling {100.0 / n:.1f}%)"
+        print(line)
+    if jax.default_backend() == "cpu":
+        print("NOTE: virtual CPU devices share one host thread pool; the "
+              "per-device efficiency ceiling is 1/n regardless of sharding "
+              "quality. Efficiency above the ceiling on every width means "
+              "collective overhead is negligible; absolute scaling numbers "
+              "need a pod slice.")
 
 
 if __name__ == "__main__":
