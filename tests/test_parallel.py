@@ -100,3 +100,36 @@ def test_psum_ber_reduction_matches_global():
 def test_dryrun_multichip_runs():
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
+
+
+def test_scaling_efficiency_harness_runs():
+    """`scaling_efficiency` measures a sharded step at several mesh widths
+    (BASELINE.md section: >=85% target needs a pod; here shape-only)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from dl_ofdm_tpu.parallel.distributed import (initialize_multihost,
+                                                  scaling_efficiency)
+    from dl_ofdm_tpu.parallel.mesh import make_mesh
+
+    initialize_multihost()  # single-process no-op
+
+    def make_step(n):
+        mesh = make_mesh(jax.devices()[:n], dp=n, tp=1)
+
+        @jax.jit
+        def step(x):
+            return jnp.sum(x * x, axis=-1)
+        return step
+
+    def make_args(n):
+        mesh = make_mesh(jax.devices()[:n], dp=n, tp=1)
+        x = jnp.ones((n * 4, 128), jnp.float32)
+        return (jax.device_put(x, NamedSharding(mesh, P("dp", None))),)
+
+    logs = []
+    res = scaling_efficiency(make_step, make_args, device_counts=(1, 2),
+                             iters=2, log_fn=logs.append)
+    assert set(res) == {1, 2} and all(v > 0 for v in res.values())
+    assert len(logs) == 2
