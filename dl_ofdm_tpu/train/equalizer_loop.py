@@ -109,14 +109,20 @@ class EqualizerTrainer(Trainer):
         aux.update(loss=loss, noise_power=noise_pwr)
         return TrainState(new_params, opt_state, state.step + 1), aux
 
-    def fit(self, seed: int = None, max_epochs: int = None, log_fn=print):
+    def fit(self, seed: int = None, max_epochs: int = None, log_fn=print,
+            init_state: TrainState = None):
+        """`init_state` warm-starts from a restored checkpoint."""
         import numpy as np
         tc = self.tc
         seed = tc.seed if seed is None else seed
         max_epochs = tc.max_epoch_num if max_epochs is None else max_epochs
         key = jax.random.PRNGKey(seed)
         key, k0 = jax.random.split(key)
+        # always build the fresh state: init_state installs the masked
+        # optimizer + gradient mask (side effects fit depends on)
         state = self.init_state(k0)
+        if init_state is not None:
+            state = init_state
         steps_per_epoch = max(1, tc.frames_per_epoch // self.batch_frames)
         best_loss, best_epoch, best_params = np.inf, 0, state.params
         history = []

@@ -166,14 +166,18 @@ class Trainer:
     # -- epoch driver (mirrors reference epoch/early-stop protocol) ----------
     def fit(self, seed: int = None, max_epochs: int = None,
             log_fn=print, grow_batch: bool = True,
-            dump_constellations: bool = False) -> tuple[TrainState, dict]:
+            dump_constellations: bool = False,
+            init_state: "TrainState" = None) -> tuple[TrainState, dict]:
+        """`init_state` warm-starts from a restored checkpoint (resume
+        semantics the reference gets via `--load_model`,
+        `ofdmreceiver_np.py:197-203`)."""
         import numpy as np
         tc = self.tc
         seed = tc.seed if seed is None else seed
         max_epochs = tc.max_epoch_num if max_epochs is None else max_epochs
         key = jax.random.PRNGKey(seed)
         key, k0 = jax.random.split(key)
-        state = self.init_state(k0)
+        state = self.init_state(k0) if init_state is None else init_state
         best_loss, best_epoch, best_params = np.inf, 0, state.params
         history = []
         for epoch in range(max_epochs):

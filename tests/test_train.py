@@ -138,3 +138,37 @@ def test_vectorized_ber_sweep_consistency():
     direct = tr.eval_step(state.params, jax.random.PRNGKey(6), 600,
                           jnp.full((600,), 10.0, jnp.float32))
     assert res.ber[2] == pytest.approx(float(direct["ber"]), abs=0.02)
+
+
+def test_fit_warm_start_resumes_from_checkpoint(tmp_path):
+    """fit(init_state=...) continues from a restored state (reference
+    --load_model resume, ofdmreceiver_np.py:197-203) and keeps the
+    equalizer-scope freeze intact."""
+    from dl_ofdm_tpu.train import checkpoint as ckpt
+    from dl_ofdm_tpu.train.equalizer_loop import EqualizerTrainer
+    from dl_ofdm_tpu.train.loop import Trainer
+
+    cfg = OFDMConfig(nbits=1)
+    tc = TrainConfig(batch_size=14, msg_length=98, max_epoch_num=1,
+                     early_stop=5, opt=0)
+    base = Trainer(cfg, tc, channel="AWGN")
+    key = jax.random.PRNGKey(0)
+    rx_params = base.init_state(key).params
+
+    eq = EqualizerTrainer(cfg, tc, channel="ETU", pretrained_rx=rx_params)
+    state1, _ = eq.fit(log_fn=lambda *a: None)
+    path = ckpt.save(str(tmp_path / "eqm"), state1)
+
+    # fresh trainer (new process analog): restore and continue
+    eq2 = EqualizerTrainer(cfg, tc, channel="ETU", pretrained_rx=rx_params)
+    warm = ckpt.restore(path, eq2.init_state(jax.random.PRNGKey(9)))
+    state2, info = eq2.fit(seed=11, log_fn=lambda *a: None, init_state=warm)
+    assert info["best_epoch"] == 0 and np.isfinite(info["best_loss"])
+    # warm start took effect: receiver scope still equals the pretrained graft
+    for a, b in zip(jax.tree.leaves(state2.params["receiver"]),
+                    jax.tree.leaves(state1.params["receiver"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # training continued: equalizer scope moved from the restored values
+    assert any(np.abs(np.asarray(a) - np.asarray(b)).max() > 0
+               for a, b in zip(jax.tree.leaves(state2.params["Equalizer"]),
+                               jax.tree.leaves(state1.params["Equalizer"])))
