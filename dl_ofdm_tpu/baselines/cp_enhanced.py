@@ -28,20 +28,24 @@ from dl_ofdm_tpu.ops import cfloat
 
 @functools.lru_cache(maxsize=None)
 def _static(n: int, l: int):
-    """Static index/mask/matrix constants."""
+    """Static index/mask/matrix constants.
+
+    Must return NumPy (not jnp) arrays: the first call may happen inside a
+    jit trace, where jnp array creation yields tracers — caching those
+    leaks them into subsequent traces (UnexpectedTracerError)."""
     # Q_NL: last L rows of conj(dftmtx(N))/N  (IDFT matrix rows N-L..N-1)
     t = np.arange(n)
     qinv = np.exp(2j * np.pi * np.outer(t, t) / n) / n
     qnl = qinv[n - l:, :]                                  # [L, N] complex
-    qnl_iq = jnp.asarray(np.stack([qnl.real, qnl.imag], -1), jnp.float32)
+    qnl_iq = np.stack([qnl.real, qnl.imag], -1).astype(np.float32)
     # comb gather: mtx[i, j] = stacked[(L + i - j) mod 2L]
     i = np.arange(l)[:, None]
     j = np.arange(l)[None, :]
-    comb_idx = jnp.asarray((l + i - j) % (2 * l), jnp.int32)
-    tril_mask = jnp.asarray(i >= j, jnp.float32)           # lower-tri incl diag
+    comb_idx = ((l + i - j) % (2 * l)).astype(np.int32)
+    tril_mask = (i >= j).astype(np.float32)                # lower-tri incl diag
     # Xcp_u mask: kept iff j >= i + 2 (col 0 zero, triu(k=1) of cols 1..L-1)
-    upper_mask = jnp.asarray(j >= i + 2, jnp.float32)
-    eye_l = jnp.eye(l, dtype=jnp.float32)
+    upper_mask = (j >= i + 2).astype(np.float32)
+    eye_l = np.eye(l, dtype=np.float32)
     return qnl_iq, comb_idx, tril_mask, upper_mask, eye_l
 
 

@@ -197,3 +197,37 @@ def test_matlab_link_mobile_runs():
     ctx = get_context(plan, "eva")
     ber, _ = run_point(link, ctx, 2, jax.random.PRNGKey(9), 15.0, 60)
     assert np.isfinite(ber) and ber < 0.4
+
+
+def test_cp_enhanced_static_cache_is_trace_safe():
+    """Regression: `_static` must cache NumPy constants.  If the first call
+    happens inside a jit trace (as in classical_rx.run_point), caching jnp
+    arrays created there leaks tracers into later traces
+    (UnexpectedTracerError on the second SNR point)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dl_ofdm_tpu.baselines import cp_enhanced as cpe
+
+    cpe._static.cache_clear()
+    b, s, n, l = 2, 3, 16, 4
+    k = jax.random.PRNGKey(0)
+    rx = jax.random.normal(k, (b, s, n, 2), jnp.float32)
+    g = jnp.zeros((b, s, n, 2)).at[..., 0].set(1.0)
+    y = jax.random.normal(k, (b, s, n + l, 2), jnp.float32)
+
+    @jax.jit
+    def first(rx, g, y):
+        return cpe.cp_enhanced_frame(rx, g, y, l)[0]
+
+    @jax.jit
+    def second(rx, g, y):  # separate jit -> separate trace, reuses cache
+        return cpe.cp_enhanced_frame(rx, g, y, l)[0]
+
+    x1 = first(rx, g, y)
+    x2 = second(rx, g, y)   # raised UnexpectedTracerError before the fix
+    assert np.isfinite(np.asarray(x1)).all()
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), rtol=1e-5)
+    # cached values are host constants, not device tracers
+    for c in cpe._static(n, l):
+        assert isinstance(c, np.ndarray)
