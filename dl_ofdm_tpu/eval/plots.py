@@ -41,5 +41,6 @@ def closed_form_ber(modulation: str, snr_per_bit_db: np.ndarray) -> np.ndarray:
     if m in ("BPSK", "QPSK"):
         return q(np.sqrt(2 * ebn0))
     if m == "16QAM":
-        return (3.0 / 8.0) * erfc(np.sqrt(4.0 * ebn0 / 10.0)) / 2 * 2
+        # Gray square 16-QAM: Pb ~= (3/4) Q(sqrt(4 Eb / 5 N0))
+        return (3.0 / 8.0) * erfc(np.sqrt(2.0 * ebn0 / 5.0))
     raise ValueError(modulation)
