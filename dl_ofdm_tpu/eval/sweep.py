@@ -46,36 +46,47 @@ def ber_sweep(trainer, params, key: jax.Array,
               snrs: Iterable[int] = range(-10, 31),
               frames_per_point: int = 20000,
               batch_frames: int = 2000,
-              log_fn=print) -> SweepResult:
+              log_fn=print, mesh=None) -> SweepResult:
     """Run the BER sweep with on-device data generation.
 
     All SNR points are interleaved into shared batches (the channel already
     supports a per-frame SNR vector), so the whole sweep is
     `frames_per_point * n_snrs / batch` invocations of ONE compiled program
     — per-point error counts come back as a segment sum over the SNR index.
+
+    With `mesh` (a ('dp', ...) `jax.sharding.Mesh`), each batch is
+    shard_mapped over 'dp': every device generates and evaluates its own
+    slice of the (SNR-point x repeat) grid with an axis-folded PRNG key, and
+    the per-point error/CE counts are `psum`'d — the pod-scale replacement
+    for the reference's per-process sweep jobs (SURVEY.md P2/P4).  Power
+    normalization groups are then per-device; statistically equivalent for
+    the batch sizes used.
     """
     snrs = list(snrs)
     n_pts = len(snrs)
-    snr_vec = jnp.asarray(np.repeat(np.asarray(snrs, np.float32),
-                                    max(1, batch_frames // n_pts)))
+    n_dev = 1 if mesh is None else mesh.shape["dp"]
+    rep = max(1, batch_frames // n_pts)
+    rep += (-rep) % n_dev          # divisible by dp width
+    snr_np = np.repeat(np.asarray(snrs, np.float32), rep)
+    idx_np = np.repeat(np.arange(n_pts), rep)
+    # interleave so every device's contiguous shard covers all SNR points
+    order = np.argsort(np.tile(np.arange(rep), n_pts), kind="stable")
+    snr_vec = jnp.asarray(snr_np[order])
+    point_idx = jnp.asarray(idx_np[order])
     frames_per_call = snr_vec.shape[0]
-    point_idx = jnp.asarray(np.repeat(np.arange(n_pts),
-                                      max(1, batch_frames // n_pts)))
-
     onehot = jnp.asarray(
         np.eye(n_pts, dtype=np.float32)[np.asarray(point_idx)])
 
-    @jax.jit
-    def sweep_batch(params, key):
+    def eval_batch(params, key, snr_vec, point_idx, onehot):
         bits, rx_in, _, _, _ = trainer.synthesize(
-            key, frames_per_call, snr_vec, norm_groups=onehot)
+            key, snr_vec.shape[0], snr_vec, norm_groups=onehot)
         logits, *_ = trainer.model.apply({"params": params}, rx_in)
         pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         err_per_frame = jnp.sum((pred != bits).astype(jnp.int32),
                                 axis=(1, 2))
         errors = jax.ops.segment_sum(err_per_frame, point_idx,
                                      num_segments=n_pts)
-        # per-point mean CE
+        # per-point summed CE
         z = logits.reshape(logits.shape[0], -1, 2)
         logp = jax.nn.log_softmax(z, axis=-1)
         y1h = jax.nn.one_hot(bits.reshape(bits.shape[0], -1), 2,
@@ -83,6 +94,29 @@ def ber_sweep(trainer, params, key: jax.Array,
         ce_frame = -jnp.mean(jnp.sum(y1h * logp, axis=-1), axis=1)
         ce = jax.ops.segment_sum(ce_frame, point_idx, num_segments=n_pts)
         return errors, ce
+
+    if mesh is None:
+        @jax.jit
+        def sweep_batch(params, key):
+            return eval_batch(params, key, snr_vec, point_idx, onehot)
+    else:
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        def shard_fn(params, key, snr_s, idx_s, oh_s):
+            key = jax.random.fold_in(key, jax.lax.axis_index("dp"))
+            errors, ce = eval_batch(params, key, snr_s, idx_s, oh_s)
+            return (jax.lax.psum(errors, "dp"), jax.lax.psum(ce, "dp"))
+
+        sharded = shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(P(), P(), P("dp"), P("dp"), P("dp", None)),
+            out_specs=(P(), P()),
+            check_rep=False)
+
+        @jax.jit
+        def sweep_batch(params, key):
+            return sharded(params, key, snr_vec, point_idx, onehot)
 
     frames_per_pt_call = frames_per_call // n_pts
     n_calls = max(1, frames_per_point // frames_per_pt_call)

@@ -133,3 +133,32 @@ def test_scaling_efficiency_harness_runs():
                              iters=2, log_fn=logs.append)
     assert set(res) == {1, 2} and all(v > 0 for v in res.values())
     assert len(logs) == 2
+
+
+def test_mesh_sharded_ber_sweep_matches_unsharded():
+    """ber_sweep(mesh=...) shard_maps frame generation over 'dp' and psums
+    error counts; statistics must agree with the single-device sweep."""
+    import jax
+    from dl_ofdm_tpu.config import OFDMConfig, TrainConfig
+    from dl_ofdm_tpu.eval.sweep import ber_sweep
+    from dl_ofdm_tpu.parallel.mesh import make_mesh
+    from dl_ofdm_tpu.train.loop import Trainer
+
+    cfg = OFDMConfig(nbits=1)
+    tc = TrainConfig(batch_size=14, msg_length=98)
+    tr = Trainer(cfg, tc, channel="AWGN")
+    key = jax.random.PRNGKey(0)
+    params = tr.init_state(key).params
+    mesh = make_mesh(jax.devices()[:4], dp=4, tp=1)
+
+    snrs = (0, 10)
+    r_single = ber_sweep(tr, params, jax.random.PRNGKey(5), snrs=snrs,
+                         frames_per_point=512, batch_frames=128,
+                         log_fn=lambda *a: None)
+    r_mesh = ber_sweep(tr, params, jax.random.PRNGKey(6), snrs=snrs,
+                       frames_per_point=512, batch_frames=128,
+                       log_fn=lambda *a: None, mesh=mesh)
+    # untrained receiver: BER ~ 0.5 at every point on both paths
+    assert np.all(np.isfinite(r_mesh.ber)) and np.all(np.isfinite(r_mesh.loss))
+    np.testing.assert_allclose(r_mesh.ber, r_single.ber, atol=0.06)
+    np.testing.assert_allclose(r_mesh.loss, r_single.loss, rtol=0.2)
