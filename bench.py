@@ -143,6 +143,20 @@ def main():
     log("compiling ours...")
     t_ours = bench(lambda: fwd(params, x), 50)
 
+    # bf16-activation forward (same f32 params; memory-bound path option)
+    model_bf = DCCNReceiver(nbits=cfg.nbits, nfft=cfg.nfft,
+                            cp_len=plan.cp_len, nfilter=cfg.nfilter,
+                            frame_size=plan.frame_size, keep_cp=cfg.cp,
+                            compute_dtype="bfloat16")
+
+    @jax.jit
+    def fwd_bf(params, x):
+        logits, _ = model_bf.apply({"params": params}, x)
+        return logits
+
+    log("compiling bf16 forward...")
+    t_bf = bench(lambda: fwd_bf(params, x), 50)
+
     log("compiling reference-style (on-device, same data)...")
     t_ref = bench(lambda: ref_fwd(kernel4, dense_params, x), 20)
 
@@ -195,6 +209,7 @@ def main():
         "train_ms_per_step": round(t_train * 1e3, 3),
         "host_synthesis_ms": round(t_host * 1e3, 1),
         "fwd_iq_per_sec": round(ours_fwd, 1),
+        "fwd_bf16_iq_per_sec": round(iq_per_batch / t_bf, 1),
         "fwd_vs_conv3d_formulation": round(t_ref / t_ours, 3),
         "device": str(jax.devices()[0]),
     }

@@ -50,25 +50,30 @@ class DCCNReceiver(nn.Module):
     frame_size: int
     keep_cp: bool = True          # FLAGS.cp: receiver sees CP (exploitation)
     recombine: str = "true"       # 'reference' reproduces the sign quirk
+    compute_dtype: str | None = None  # 'bfloat16' halves HBM traffic on the
+                                      # memory-bound forward path; params and
+                                      # accumulation stay float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray):
         b, s = x.shape[0], x.shape[1]
+        cd = self.compute_dtype
         if not self.keep_cp:
             x = x[:, :, self.cp_len: self.cp_len + self.nfft, :]
         # 'fft_like' — learned DFT replacement
         fft_out = ComplexDense(self.nfilter, recombine=self.recombine,
+                               compute_dtype=cd,
                                name="fft_like")(x)          # [B, S, F, 2]
         # 'demodulation'
         out = fft_out.reshape(b, s * self.nfilter * 2)
-        out = nn.Dense(self.frame_size * 2, name="Dense_extract")(out)
+        out = nn.Dense(self.frame_size * 2, dtype=cd, name="Dense_extract")(out)
         out_iq = out.reshape(b, 1, self.frame_size, 2)
-        h = nn.Dense(2 ** self.nbits, name="Dense_conv1x1")(out_iq)
+        h = nn.Dense(2 ** self.nbits, dtype=cd, name="Dense_conv1x1")(out_iq)
         h = leaky_relu(h)
-        h = jnp.concatenate([h, out_iq], axis=-1)
-        h = leaky_relu(nn.Dense(self.nbits * 2, name="Dense_llr")(h))
+        h = jnp.concatenate([h, out_iq.astype(h.dtype)], axis=-1)
+        h = leaky_relu(nn.Dense(self.nbits * 2, dtype=cd, name="Dense_llr")(h))
         logits = h.reshape(b, self.frame_size, self.nbits, 2)
-        return logits, fft_out
+        return logits.astype(jnp.float32), fft_out
 
 
 class DNNReceiver(nn.Module):

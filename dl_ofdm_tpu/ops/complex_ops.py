@@ -75,6 +75,11 @@ class ComplexDense(nn.Module):
     recombine: str = "true"        # true | reference  (exact mode only)
     use_bias: bool = True
     use_pallas: bool | None = None  # None -> module-level default
+    compute_dtype: str | None = None  # e.g. 'bfloat16': GEMM inputs cast down
+                                      # (params stay f32, f32 accumulation) —
+                                      # halves HBM traffic on the memory-bound
+                                      # forward path; MXU natively multiplies
+                                      # in bf16 either way.
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -85,11 +90,20 @@ class ComplexDense(nn.Module):
         init = nn.initializers.lecun_normal()
         use_pallas = (_USE_PALLAS_DEFAULT if self.use_pallas is None
                       else self.use_pallas)
+        cd = (jnp.dtype(self.compute_dtype)
+              if self.compute_dtype is not None else None)
+
+        def mm(a, b):
+            if cd is None:
+                return a @ b
+            return jnp.matmul(a.astype(cd), b.astype(cd),
+                              preferred_element_type=jnp.float32)
+
         xr, xi = x[..., 0], x[..., 1]
         if self.mode == "exact":
             wr = self.param("wr", init, (k, f))
             wi = self.param("wi", init, (k, f))
-            if use_pallas and self.recombine == "true":
+            if use_pallas and self.recombine == "true" and cd is None:
                 from dl_ofdm_tpu.ops.pallas_kernels import complex_dense_iq
                 y = complex_dense_iq(x, wr, wi)
                 if self.use_bias:
@@ -97,11 +111,11 @@ class ComplexDense(nn.Module):
                     bi = self.param("bi", nn.initializers.zeros, (f,))
                     y = y + jnp.stack([br, bi], axis=-1)
                 return y
-            yr = xr @ wr - xi @ wi
+            yr = mm(xr, wr) - mm(xi, wi)
             if self.recombine == "true":
-                yi = xr @ wi + xi @ wr
+                yi = mm(xr, wi) + mm(xi, wr)
             elif self.recombine == "reference":
-                yi = xr @ wi - xi @ wr
+                yi = mm(xr, wi) - mm(xi, wr)
             else:
                 raise ValueError(f"Unknown recombine {self.recombine!r}")
             if self.use_bias:

@@ -239,3 +239,33 @@ def test_awgn_phase_variant():
     # 0.5*10^(-SNR/10) — half of the NumPy main path (reference quirk:
     # amplitude drawn once and split across I/Q via sin/cos)
     assert float(npow) == pytest.approx(0.5 * 10 ** (-10 / 10), rel=0.2)
+
+
+def test_bf16_compute_dtype_matches_f32():
+    """compute_dtype='bfloat16' keeps params + logits f32 and tracks the f32
+    forward within bf16 tolerance (HBM-bandwidth option for the memory-bound
+    receiver forward)."""
+    import jax
+    import jax.numpy as jnp
+    from dl_ofdm_tpu.config import OFDMConfig
+    from dl_ofdm_tpu.models.dccn import DCCNReceiver
+    from dl_ofdm_tpu.ofdm.plan import build_plan
+
+    cfg = OFDMConfig(nbits=2)
+    plan = build_plan(cfg)
+    kw = dict(nbits=cfg.nbits, nfft=cfg.nfft, cp_len=plan.cp_len,
+              nfilter=cfg.nfilter, frame_size=plan.frame_size, keep_cp=True)
+    x = jax.random.normal(jax.random.PRNGKey(0),
+                          (4, plan.nsymbol, plan.samples_per_symbol, 2))
+    m32 = DCCNReceiver(**kw)
+    mbf = DCCNReceiver(**kw, compute_dtype="bfloat16")
+    params = m32.init(jax.random.PRNGKey(1), x)["params"]
+    y32, _ = m32.apply({"params": params}, x)
+    ybf, _ = mbf.apply({"params": params}, x)   # same params pytree
+    assert ybf.dtype == jnp.float32
+    assert all(p.dtype == jnp.float32 for p in jax.tree.leaves(params))
+    # bf16 has ~8 bits of mantissa; activations are O(1)
+    np.testing.assert_allclose(np.asarray(ybf), np.asarray(y32),
+                               atol=0.12, rtol=0.12)
+    err = np.max(np.abs(np.asarray(ybf) - np.asarray(y32)))
+    assert err > 0  # genuinely computed in bf16, not silently upcast
