@@ -66,6 +66,10 @@ def ber_sweep(trainer, params, key: jax.Array,
     n_pts = len(snrs)
     n_dev = 1 if mesh is None else mesh.shape["dp"]
     rep = max(1, batch_frames // n_pts)
+    # each device must hold enough frames per SNR point for meaningful
+    # power-normalization group statistics (1 frame/group would zero the
+    # input: var over a single frame is 0); floor at 4 frames/point/device
+    rep = max(rep, 4 * n_dev)
     rep += (-rep) % n_dev          # divisible by dp width
     snr_np = np.repeat(np.asarray(snrs, np.float32), rep)
     idx_np = np.repeat(np.arange(n_pts), rep)

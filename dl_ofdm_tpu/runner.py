@@ -38,12 +38,18 @@ def run_sweep(awgn: bool = True, save_dir: str = "./ofdm_lte_ext_64",
     ebno = 5.0
 
     for longcp in (False, True):
+        # the reference reuses one token across longcp passes and relies on
+        # moving results into per-longcp dirs (`run_local_ofdm.py:82-90`);
+        # here the short-CP arm is suffixed so both arms coexist in one dir
+        # (same convention as the classical `_shortcp` CSVs).
+        cp_suffix = "" if longcp else "_shortcp"
         if awgn:
             for nbits in (4, 3, 2, 1):
                 snr = ebno * nbits
                 epochs = 2 if quick else 1200 * nbits
                 for cp in (False, True):
-                    token1 = f"{token}_{nbits}mod_snr{int(snr)}_cp{cp}"
+                    token1 = (f"{token}_{nbits}mod_snr{int(snr)}_cp{cp}"
+                              f"{cp_suffix}")
                     csv = os.path.join(result_dir,
                                        f"Test_DCCN_{token1}_AWGN.csv")
                     if os.path.isfile(csv):
@@ -72,7 +78,7 @@ def run_sweep(awgn: bool = True, save_dir: str = "./ofdm_lte_ext_64",
         epochs = 2 if quick else 4000
         for cp in (True, False):
             chan = "mixRayleigh"
-            token1 = f"{token}_{nbits}mod_snr{int(snr)}_cp{cp}"
+            token1 = f"{token}_{nbits}mod_snr{int(snr)}_cp{cp}{cp_suffix}"
             done_csv = os.path.join(
                 result_dir,
                 f"Test_DCCN_{token1}_Equalizer{opt}_{chan}_test_chan_Custom.csv")

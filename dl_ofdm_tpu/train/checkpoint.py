@@ -24,7 +24,8 @@ def token_name(token: str, nbits: int, snr: float, cp: bool,
                opt: int | None = None, channel: str | None = None) -> str:
     name = f"{token}_{nbits}mod_snr{int(snr)}_cp{cp}"
     if channel is not None:
-        name += f"_Equalizer{opt}_{channel}" if opt else f"_Equalizer_{channel}"
+        opt_str = "" if opt is None else str(opt)
+        name += f"_Equalizer{opt_str}_{channel}"
     return name
 
 

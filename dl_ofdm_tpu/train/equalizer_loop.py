@@ -57,6 +57,14 @@ class EqualizerTrainer(Trainer):
         # freeze everything outside the Equalizer scope
         self._eq_reg_coeff = 1e-3   # `ofdmreceiver_np_mp.py:338`
 
+    def _install_optimizer(self, params) -> None:
+        """Build the Equalizer-scope-masked optimizer + gradient mask for a
+        given param tree (only its structure matters)."""
+        mask = scope_mask(params, "Equalizer")
+        self.optimizer = optax.masked(make_optimizer(self.tc), mask)
+        self._grad_mask = jax.tree.map(
+            lambda m: jnp.asarray(1.0 if m else 0.0), mask)
+
     def init_state(self, key: jax.Array) -> TrainState:
         dummy = jnp.zeros(
             (2, self.plan.nsymbol, self.plan.samples_per_symbol, 2),
@@ -64,10 +72,7 @@ class EqualizerTrainer(Trainer):
         params = self.model.init(key, dummy)["params"]
         if self.pretrained_rx is not None:
             params = graft_pretrained(params, self.pretrained_rx)
-        mask = scope_mask(params, "Equalizer")
-        self.optimizer = optax.masked(make_optimizer(self.tc), mask)
-        self._grad_mask = jax.tree.map(
-            lambda m: jnp.asarray(1.0 if m else 0.0), mask)
+        self._install_optimizer(params)
         return TrainState(params=params,
                           opt_state=self.optimizer.init(params),
                           step=jnp.zeros((), jnp.int32))
@@ -118,11 +123,11 @@ class EqualizerTrainer(Trainer):
         max_epochs = tc.max_epoch_num if max_epochs is None else max_epochs
         key = jax.random.PRNGKey(seed)
         key, k0 = jax.random.split(key)
-        # always build the fresh state: init_state installs the masked
-        # optimizer + gradient mask (side effects fit depends on)
-        state = self.init_state(k0)
         if init_state is not None:
+            self._install_optimizer(init_state.params)
             state = init_state
+        else:
+            state = self.init_state(k0)
         steps_per_epoch = max(1, tc.frames_per_epoch // self.batch_frames)
         best_loss, best_epoch, best_params = np.inf, 0, state.params
         history = []

@@ -64,6 +64,11 @@ class TestCheckpoint:
         assert (ckpt.token_name("OFDM_Dense3", 1, 5.0, True, opt=2,
                                 channel="mixRayleigh")
                 == "OFDM_Dense3_1mod_snr5_cpTrue_Equalizer2_mixRayleigh")
+        # opt=0 (the default equalizer) must keep its digit — regression for
+        # the falsy-zero bug that produced '_Equalizer_mixRayleigh'
+        assert (ckpt.token_name("OFDM_Dense3", 1, 5.0, True, opt=0,
+                                channel="mixRayleigh")
+                == "OFDM_Dense3_1mod_snr5_cpTrue_Equalizer0_mixRayleigh")
 
     def test_save_restore_roundtrip(self, tmp_path):
         from dl_ofdm_tpu.train.loop import Trainer
@@ -90,15 +95,16 @@ class TestRunnerResume:
         save_dir = str(tmp_path)
         result_dir = tmp_path / "results"
         result_dir.mkdir()
-        for nbits in (1, 2, 3, 4):
-            for cp in (False, True):
-                tok = f"OFDM_Dense3_{nbits}mod_snr{5 * nbits}_cp{cp}"
-                (result_dir / f"Test_DCCN_{tok}_AWGN.csv").write_text("x")
-        for cp in (True, False):
-            tok = f"OFDM_Dense3_1mod_snr5_cp{cp}"
-            (result_dir /
-             f"Test_DCCN_{tok}_Equalizer0_mixRayleigh_test_chan_Custom.csv"
-             ).write_text("x")
+        for cp_suffix in ("", "_shortcp"):   # long- and short-CP grid arms
+            for nbits in (1, 2, 3, 4):
+                for cp in (False, True):
+                    tok = f"OFDM_Dense3_{nbits}mod_snr{5 * nbits}_cp{cp}{cp_suffix}"
+                    (result_dir / f"Test_DCCN_{tok}_AWGN.csv").write_text("x")
+            for cp in (True, False):
+                tok = f"OFDM_Dense3_1mod_snr5_cp{cp}{cp_suffix}"
+                (result_dir /
+                 f"Test_DCCN_{tok}_Equalizer0_mixRayleigh_test_chan_Custom.csv"
+                 ).write_text("x")
         logs = []
         run_sweep(awgn=True, save_dir=save_dir, quick=True,
                   log_fn=logs.append)
