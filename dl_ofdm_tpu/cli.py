@@ -31,6 +31,8 @@ def _add_common(p: argparse.ArgumentParser):
                    choices=["lte", "scattered", "block", "comb"])
     p.add_argument("--cp", type=_bool, default=True)
     p.add_argument("--longcp", type=_bool, default=True)
+    p.add_argument("--compute_dtype", default=None,
+                   choices=[None, "bfloat16", "float32"])
     p.add_argument("--channel", default="AWGN")
     p.add_argument("--mobile", type=_bool, default=False)
     p.add_argument("--SNR", type=float, default=3.0)
@@ -51,7 +53,7 @@ def _configs(args):
     cfg = OFDMConfig(nbits=args.nbits, nfft=args.nfft, nsymbol=args.nsymbol,
                      npilot=args.npilot, nguard=args.nguard,
                      nfilter=args.nfilter, pilot=args.pilot, cp=args.cp,
-                     longcp=args.longcp)
+                     longcp=args.longcp, compute_dtype=args.compute_dtype)
     tc = TrainConfig(snr=args.SNR, batch_size=args.batch_size,
                      msg_length=args.msg_length,
                      max_epoch_num=args.max_epoch_num,

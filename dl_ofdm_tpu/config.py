@@ -31,6 +31,10 @@ class OFDMConfig:
     pilot: str = "lte"        # 'lte' | 'scattered' | 'block' | 'comb'
     cp: bool = True           # receiver keeps the CP (CP-exploitation path)
     longcp: bool = True       # CP length: 25% of nfft if True else 7%
+    compute_dtype: Optional[str] = None  # 'bfloat16': receiver GEMMs run on
+                                         # bf16 activations (f32 params/
+                                         # accumulation/logits) — halves HBM
+                                         # traffic on the memory-bound forward
 
     def __post_init__(self):
         if self.pilot not in ("lte", "scattered", "block", "comb"):

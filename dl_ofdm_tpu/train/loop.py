@@ -74,7 +74,7 @@ class Trainer:
         self.model = model if model is not None else DCCNReceiver(
             nbits=cfg.nbits, nfft=cfg.nfft, cp_len=self.plan.cp_len,
             nfilter=cfg.nfilter, frame_size=self.plan.frame_size,
-            keep_cp=cfg.cp)
+            keep_cp=cfg.cp, compute_dtype=cfg.compute_dtype)
         self.channel = RayleighChannel(
             channel=channel, nfft=cfg.nfft,
             sample_rate=self.plan.sample_rate, mobile=mobile, mix=mix)
