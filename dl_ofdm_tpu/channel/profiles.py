@@ -72,7 +72,13 @@ def alpha_matrix(delays_ns: np.ndarray, sample_rate: float,
     if n_cols is None:
         if len(d) == 1 and d[0] == 0.0:
             return np.ones((1, 1))
-        n_cols = _CENTER + 1 + int(np.floor(d.max())) + _CENTER
+        # Fallback for rates without pinned reference shapes (_PINNED_NCOLS
+        # covers the 4 MATLAB-exported CSVs @0.96 Msps; the exact generator
+        # rule is not derivable from those 4 shapes — etu implies floor(dmax),
+        # custom implies ceil).  ceil fully covers the last tap's sinc peak,
+        # and the resulting FIR/ground-truth pair is self-consistent at any
+        # rate; only the pinned rate claims bit-parity with the reference.
+        n_cols = _CENTER + 1 + int(np.ceil(d.max())) + _CENTER
     n = np.arange(n_cols)
     return np.sinc(n[None, :] - _CENTER - d[:, None])
 

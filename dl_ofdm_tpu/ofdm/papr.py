@@ -14,10 +14,15 @@ import jax.numpy as jnp
 
 
 def clip_papr(x: jnp.ndarray, peak: float = 8.0) -> jnp.ndarray:
-    """Clip complex waveform to PAPR <= peak (relative to mean power)."""
+    """Clip complex waveform to PAPR <= peak (relative to mean power).
+
+    Samples whose instantaneous power exceeds `peak * mean power` are scaled
+    down to exactly that threshold amplitude (`sqrt(peak * avg_pwr)`), same
+    convention as the MATLAB link's per-symbol clip
+    (`dev/m/OFDM_Benchmark_dev.m:260-267`)."""
     sig_pwr = jnp.abs(x) ** 2 + 1e-8
     avg_pwr = jnp.mean(sig_pwr)
-    clipped = jnp.sqrt(peak) * x / jnp.sqrt(sig_pwr)
+    clipped = jnp.sqrt(peak * avg_pwr) * x / jnp.sqrt(sig_pwr)
     return jnp.where(sig_pwr < peak * avg_pwr, x, clipped)
 
 

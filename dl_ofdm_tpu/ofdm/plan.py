@@ -47,7 +47,16 @@ class SubcarrierPlan:
     pilot_value: complex
     # per-symbol maps
     data_carriers: np.ndarray    # [n_data_sym] SC indices holding data (per-sym plan)
-    pilot_carriers: np.ndarray   # [P] SC indices of the per-symbol pilot comb
+    pilot_carriers: np.ndarray   # [P] base pilot comb (symbol-0 comb).  Only
+                                 # 'comb' places this comb in EVERY symbol;
+                                 # 'lte' pilots live in symbols 0 and 4 (the
+                                 # latter +3-shifted), 'block'/'scattered'
+                                 # differ too — the exact frame-level truth is
+                                 # pilot_sc.  Consumers using this field
+                                 # across all symbols (e.g. the equalizer SNR
+                                 # estimate, reference parity with
+                                 # `dev/py/model.py:464-475` which does the
+                                 # same) inherit that approximation.
     guard_carriers: np.ndarray   # guard+DC SC indices
     effec_carriers: np.ndarray   # effective (non-guard, non-DC) SC indices
     # frame-level maps (flattened over [nsymbol * nfft])
@@ -109,6 +118,9 @@ def _build_plan_cached(nbits, nfft, nsymbol, npilot, nguard, pilot, longcp):
         cols = [np.sort((pilot_loc + i * 3) % len(effec)) for i in range(nsymbol)]
         pilot_sc = np.concatenate([effec[c] + i * k for i, c in enumerate(cols)])
     elif pilot == "block":
+        if nsymbol < 4:
+            raise ValueError("'block' pilot scheme places pilots in symbol 3 "
+                             f"and needs nsymbol >= 4 (got {nsymbol})")
         pilot_sc = effec + 3 * k  # every effective SC of symbol 3 is a pilot
     elif pilot == "comb":
         pilot_sc = np.concatenate([pilot_carriers + i * k for i in range(nsymbol)])

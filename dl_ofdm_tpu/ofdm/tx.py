@@ -17,6 +17,7 @@ import jax.numpy as jnp
 from dl_ofdm_tpu.config import OFDMConfig
 from dl_ofdm_tpu.ofdm.constellation import bits_to_symbols
 from dl_ofdm_tpu.ofdm.plan import SubcarrierPlan, build_plan
+from dl_ofdm_tpu.ops import cfloat
 
 
 def ofdm_modulate_frames_iq(bits: jnp.ndarray, plan: SubcarrierPlan) -> jnp.ndarray:
@@ -78,14 +79,11 @@ def ofdm_modulate_frames(bits: jnp.ndarray, plan: SubcarrierPlan) -> jnp.ndarray
     return with_cp
 
 
-def iq_split(x: jnp.ndarray) -> jnp.ndarray:
-    """complex [...] -> real [..., 2] (I, Q) pair view."""
-    return jnp.stack([jnp.real(x), jnp.imag(x)], axis=-1)
-
-
-def iq_join(x: jnp.ndarray) -> jnp.ndarray:
-    """real [..., 2] -> complex [...]."""
-    return (x[..., 0] + 1j * x[..., 1]).astype(jnp.complex64)
+# canonical IQ<->complex conversions live in ops.cfloat; these aliases keep
+# the TX module's public names (from_complex pins float32 — the framework-wide
+# IQ dtype)
+iq_split = cfloat.from_complex
+iq_join = cfloat.to_complex
 
 
 class OFDMTx:

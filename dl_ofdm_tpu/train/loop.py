@@ -66,9 +66,14 @@ class Trainer:
     """End-to-end trainer for the basic DCCN receiver (AWGN or fading)."""
 
     def __init__(self, cfg: OFDMConfig, tc: TrainConfig, channel: str = "AWGN",
-                 mobile: bool = False, mix: bool = False,
+                 mobile: bool = False, mix: Optional[bool] = None,
                  model: Optional[Any] = None,
                  param_label_fn: Optional[Callable] = None):
+        # reference parity: mix channels apply Doppler only on the designated
+        # frames and ONLY when mix is set (`dev/py/radio.py:460`); the
+        # reference's mobile flow always constructs the mixed-Doppler channel,
+        # so mobile implies mix unless explicitly overridden.
+        mix = mobile if mix is None else mix
         self.cfg, self.tc = cfg, tc
         self.plan = build_plan(cfg)
         self.model = model if model is not None else DCCNReceiver(

@@ -133,3 +133,41 @@ def test_large_fft_plans(nfft):
     bits = rng.integers(0, 2, (2, plan.frame_size, 1))
     wf = ofdm_modulate_frames(bits, plan)
     assert wf.shape == (2, 7, plan.samples_per_symbol)
+
+
+class TestPAPR:
+    def test_clip_papr_relative_threshold(self):
+        """Samples above peak x mean power are scaled DOWN to exactly the
+        threshold amplitude; nothing is ever amplified (regression: the old
+        clip used sqrt(peak) absolute and boosted low-power signals)."""
+        import jax.numpy as jnp
+        from dl_ofdm_tpu.ofdm.papr import clip_papr
+
+        rng = np.random.default_rng(0)
+        x = (rng.normal(size=512) + 1j * rng.normal(size=512)) * 0.1
+        x[7] = 3.0 + 0j    # outlier far above PAPR 8 of the low mean power
+        y = np.asarray(clip_papr(jnp.asarray(x), peak=8.0))
+        avg = np.mean(np.abs(x) ** 2)
+        thr = np.sqrt(8.0 * avg)
+        assert np.abs(y[7]) == pytest.approx(thr, rel=1e-5)
+        # clipped, not amplified
+        assert np.all(np.abs(y) <= np.abs(x) + 1e-7)
+        # untouched samples pass through exactly (modulo the framework's
+        # complex64 ingestion cast)
+        mask = np.abs(x) ** 2 < 8.0 * avg
+        np.testing.assert_array_equal(y[mask], x[mask].astype(np.complex64))
+
+    def test_clip_papr_iq_absolute_norm(self):
+        """TF complex_clip semantics: IQ norm capped at `peak` absolutely
+        (`dev/py/complex.py:21-27`), returns post-clip mean power."""
+        import jax.numpy as jnp
+        from dl_ofdm_tpu.ofdm.papr import clip_papr_iq
+
+        x = np.zeros((4, 2), np.float32)
+        x[0] = [3.0, 4.0]     # norm 5
+        x[1] = [0.3, 0.4]     # norm .5
+        y, pwr = clip_papr_iq(jnp.asarray(x), peak=2.0)
+        y = np.asarray(y)
+        assert np.linalg.norm(y[0]) == pytest.approx(2.0, rel=1e-5)
+        np.testing.assert_allclose(y[1], x[1], rtol=1e-6)
+        assert float(pwr) == pytest.approx(np.mean(np.sum(y**2, -1)), rel=1e-5)
