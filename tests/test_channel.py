@@ -259,3 +259,29 @@ def test_dft_idft_iq_match_numpy_fft(rng):
     got = np.asarray(cfloat.idft_iq(jnp.asarray(_iq(y))))
     want = np.fft.ifft(y, axis=-1)
     np.testing.assert_allclose(got[..., 0] + 1j * got[..., 1], want, atol=1e-5)
+
+
+def test_mix_doppler_partitioned_fir_matches_general_path():
+    """The mixRayleigh-mobile fast path (static batch partition: per-symbol
+    FIR only on every-3rd Doppler frames) is bitwise-identical to the
+    general where-merged path."""
+    import jax
+    import jax.numpy as jnp
+    from dl_ofdm_tpu.channel.rayleigh import RayleighChannel
+
+    ch = RayleighChannel("mixRayleigh", nfft=64, mobile=True, mix=True)
+    key = jax.random.PRNGKey(3)
+    tx = jax.random.normal(jax.random.PRNGKey(4), (12, 7, 80, 2), jnp.float32)
+    ch._partition_doppler = True
+    out_fast = ch(key, tx)
+    ch._partition_doppler = False
+    out_gen = ch(key, tx)
+    np.testing.assert_array_equal(np.asarray(out_fast.y),
+                                  np.asarray(out_gen.y))
+    np.testing.assert_array_equal(np.asarray(out_fast.h_freq),
+                                  np.asarray(out_gen.h_freq))
+    # non-divisible batches fall back to the general path and still work
+    tx13 = jax.random.normal(jax.random.PRNGKey(5), (13, 7, 80, 2))
+    ch._partition_doppler = True
+    out13 = ch(key, tx13.astype(jnp.float32))
+    assert np.isfinite(np.asarray(out13.y)).all()
