@@ -48,6 +48,14 @@ def run_point(link: MatlabLink, ctx: E.EstimatorContext, eq_idx: int,
 
     @partial(jax.jit, static_argnums=2)
     def one_batch(key, w_prior, nb):
+        # the estimator algebra (LS solves, Woodbury CP-enhanced, LMMSE) is
+        # ill-conditioned enough that TPU default matmul precision (bf16
+        # passes) corrupts it — measured 5x BER degradation on the
+        # CP-enhanced estimator (eq5) vs f32.  Pin full f32 for this trace.
+        with jax.default_matmul_precision("float32"):
+            return _one_batch_impl(key, w_prior, nb)
+
+    def _one_batch_impl(key, w_prior, nb):
         k1, k2, k3 = jax.random.split(key, 3)
         tx_idx, tx_wave = link.transmit(k1, nb)
         ch = link.fade(k2, tx_wave)
