@@ -78,6 +78,6 @@ class TrainConfig:
                                    # outputs (ofdmreceiver_np.py:155-159); the
                                    # default trains on true logits.
 
-    @property
-    def frames_per_epoch(self) -> int:
-        return self.msg_length // 7
+    def frames_per_epoch(self, nsymbol: int = 7) -> int:
+        """Frames per epoch = msg_length // nsymbol (symbols per frame)."""
+        return self.msg_length // nsymbol

@@ -156,6 +156,10 @@ class Equalizer(nn.Module):
         # -- autocorrelation feature ---------------------------------------
         feats = []
         if spec.use_corr:
+            # reference parity (`dev/py/model.py:437-440`): x*conj(x) — the
+            # imaginary channel is identically zero, so this is a per-SC
+            # power feature (the reference's "autocorrelation" is elementwise,
+            # not shifted); kept verbatim for ablation comparability.
             corr = cfloat.cmul_iq(eq_freq_iq, cfloat.conj_iq(eq_freq_iq))
             cmode = "vector" if spec.cmode == "vector" else "exact"
             corr = ComplexDense(k, mode=cmode, name="CorrT")(corr)

@@ -87,6 +87,7 @@ class EqualizedReceiver(nn.Module):
     keep_cp: bool = True
     recombine: str = "true"
     eq_spec: EqSpec = EqSpec()
+    compute_dtype: str | None = None  # forwarded to the grafted DCCN receiver
 
     @nn.compact
     def __call__(self, x: jnp.ndarray):
@@ -98,5 +99,6 @@ class EqualizedReceiver(nn.Module):
             nbits=self.nbits, nfft=self.nfft, cp_len=self.cp_len,
             nfilter=self.nfilter, frame_size=self.frame_size,
             keep_cp=self.keep_cp, recombine=self.recombine,
+            compute_dtype=self.compute_dtype,
             name="receiver")(equalized)
         return logits, fft_out, equalized, snr_db, chest

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import functools
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -78,8 +79,12 @@ def dft_iq(x: jnp.ndarray, n_out: int | None = None) -> jnp.ndarray:
     n = n_out or k
     c, s = _dft_mats(k, n, inverse=False)
     xr, xi = x[..., 0], x[..., 1]
-    # e^{-i theta}: Xr = xr.c + xi.s ; Xi = xi.c - xr.s
-    return jnp.stack([xr @ c + xi @ s, xi @ c - xr @ s], axis=-1)
+    # full f32: TPU default (bf16-pass) matmul precision puts ~-45 dB
+    # deterministic distortion on the DSP transforms, visible at the
+    # high-SNR end of BER sweeps; the np.fft parity contract needs f32.
+    with jax.default_matmul_precision("float32"):
+        # e^{-i theta}: Xr = xr.c + xi.s ; Xi = xi.c - xr.s
+        return jnp.stack([xr @ c + xi @ s, xi @ c - xr @ s], axis=-1)
 
 
 def cmatvec_iq(w: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
@@ -118,5 +123,6 @@ def idft_iq(x: jnp.ndarray, n_out: int | None = None) -> jnp.ndarray:
     n = n_out or k
     c, s = _dft_mats(k, n, inverse=True)
     xr, xi = x[..., 0], x[..., 1]
-    # e^{+i theta}/N: yr = xr.c - xi.s ; yi = xr.s + xi.c
-    return jnp.stack([xr @ c - xi @ s, xr @ s + xi @ c], axis=-1)
+    with jax.default_matmul_precision("float32"):   # see dft_iq
+        # e^{+i theta}/N: yr = xr.c - xi.s ; yi = xr.s + xi.c
+        return jnp.stack([xr @ c - xi @ s, xr @ s + xi @ c], axis=-1)

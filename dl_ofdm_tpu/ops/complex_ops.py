@@ -46,19 +46,11 @@ def set_use_pallas(enabled: bool) -> None:
     _USE_PALLAS_DEFAULT = bool(enabled)
 
 
-def iq_to_complex(x: jnp.ndarray) -> jnp.ndarray:
-    return (x[..., 0] + 1j * x[..., 1]).astype(jnp.complex64)
-
-
-def complex_to_iq(x: jnp.ndarray) -> jnp.ndarray:
-    return jnp.stack([jnp.real(x), jnp.imag(x)], axis=-1)
-
-
-def complex_mul(a_iq: jnp.ndarray, b_iq: jnp.ndarray) -> jnp.ndarray:
-    """Elementwise complex product of IQ pairs."""
-    ar, ai = a_iq[..., 0], a_iq[..., 1]
-    br, bi = b_iq[..., 0], b_iq[..., 1]
-    return jnp.stack([ar * br - ai * bi, ar * bi + ai * br], axis=-1)
+# canonical complex-pair primitives live in ops.cfloat; aliased here so the
+# layer module's public names resolve to ONE implementation
+from dl_ofdm_tpu.ops.cfloat import (cmul_iq as complex_mul,          # noqa: E402
+                                    from_complex as complex_to_iq,
+                                    to_complex as iq_to_complex)
 
 
 class ComplexDense(nn.Module):

@@ -10,7 +10,10 @@ the per-frame FIR channel.  Here both are hand-scheduled TPU kernels:
     whose backward pass reuses the same kernel on swapped/transposed panels.
   * `fir_shift_accum` — the channel's per-frame FIR as an in-VMEM
     shift-and-accumulate over F static taps (per-row complex kernels), the
-    Pallas form of `channel.fir.fir_same_iq`'s inner loop.
+    Pallas form of `channel.fir.fir_same_iq`'s inner loop.  NOTE: validated
+    against the jnp path by tests but not wired into `channel.fir` by
+    default — XLA's fusion of the jnp shift-accumulate already saturates the
+    VPU there, so the production channel keeps the jnp path.
 
 Both fall back to the identical jnp formulation off-TPU (CPU tests) via
 `interpret=True`; numerics are bit-compatible up to f32 accumulation order.
@@ -33,8 +36,11 @@ except Exception:  # pragma: no cover
 
 
 def _on_tpu() -> bool:
+    """True only for TPU-family backends ('tpu', or this image's tunneled
+    'axon') — a GPU backend must take the interpret/jnp fallback, not the
+    Mosaic path with pltpu.VMEM block specs."""
     try:
-        return jax.default_backend() not in ("cpu",)
+        return jax.default_backend() in ("tpu", "axon")
     except Exception:  # pragma: no cover
         return False
 

@@ -29,8 +29,8 @@ from dl_ofdm_tpu.models.receiver import EqualizedReceiver
 from dl_ofdm_tpu.ops.norms import frame_layer_norm
 from dl_ofdm_tpu.train import metrics as M
 from dl_ofdm_tpu.train.curriculum import sample_snr
-from dl_ofdm_tpu.train.loop import Trainer, TrainState, make_optimizer
-from dl_ofdm_tpu.train.transfer import graft_pretrained, scope_mask
+from dl_ofdm_tpu.train.loop import Trainer, TrainState
+from dl_ofdm_tpu.train.transfer import graft_pretrained, masked_optimizer
 
 
 class EqualizerTrainer(Trainer):
@@ -41,7 +41,6 @@ class EqualizerTrainer(Trainer):
                  mix: Optional[bool] = None,
                  pretrained_rx: Any = None):
         spec = EQUALIZER_REGISTRY[tc.opt]
-        plan_probe = None
         from dl_ofdm_tpu.ofdm.plan import build_plan
         plan_probe = build_plan(cfg)
         model = EqualizedReceiver(
@@ -49,8 +48,8 @@ class EqualizerTrainer(Trainer):
             nfilter=cfg.nfilter, frame_size=plan_probe.frame_size,
             nsymbol=plan_probe.nsymbol, pilot_size=plan_probe.pilot_size,
             pilot_carriers=tuple(plan_probe.pilot_carriers),
-            keep_cp=cfg.cp, eq_spec=spec)
-        mix = mobile if mix is None else mix
+            keep_cp=cfg.cp, eq_spec=spec,
+            compute_dtype=cfg.compute_dtype)
         super().__init__(cfg, tc, channel=channel, mobile=mobile, mix=mix,
                          model=model)
         self.pretrained_rx = pretrained_rx
@@ -60,8 +59,7 @@ class EqualizerTrainer(Trainer):
     def _install_optimizer(self, params) -> None:
         """Build the Equalizer-scope-masked optimizer + gradient mask for a
         given param tree (only its structure matters)."""
-        mask = scope_mask(params, "Equalizer")
-        self.optimizer = optax.masked(make_optimizer(self.tc), mask)
+        self.optimizer, mask = masked_optimizer(self.tc, params, "Equalizer")
         self._grad_mask = jax.tree.map(
             lambda m: jnp.asarray(1.0 if m else 0.0), mask)
 
@@ -90,6 +88,10 @@ class EqualizerTrainer(Trainer):
         aux = {"ce": ce, "ber": ber, "log_ber": log_ber, "conf": conf,
                "total_loss": loss}
         if snr_db is not None:
+            # reference parity: snr_est is the log10-without-x10 estimate
+            # (`dev/py/model.py:464-475`) compared against the dB feed, same
+            # unit mismatch as the reference's snr_mse diagnostic — a large
+            # constant offset; tracks relative movement only.
             aux["snr_mse"] = jnp.mean((snr_est - snr_db.reshape(-1, 1)) ** 2)
         if h_freq is not None:
             aux["chan_mse"] = jnp.mean(
@@ -128,7 +130,7 @@ class EqualizerTrainer(Trainer):
             state = init_state
         else:
             state = self.init_state(k0)
-        steps_per_epoch = max(1, tc.frames_per_epoch // self.batch_frames)
+        steps_per_epoch = max(1, tc.frames_per_epoch(self.cfg.nsymbol) // self.batch_frames)
         best_loss, best_epoch, best_params = np.inf, 0, state.params
         history = []
         for epoch in range(max_epochs):

@@ -156,9 +156,10 @@ class Trainer:
 
     # -- adaptive batch growth (reference C15, `ofdmreceiver_np.py:242-243`) -
     def _ideal_batch_frames(self, ber: float) -> int:
-        """idealbatch = (min(200/BER, 9e5) / (55*nbits)) // 8, snapped to the
-        next power of two to bound the number of re-jits (a deliberate
-        deviation: XLA compiles per static shape)."""
+        """idealbatch = (min(200/BER, 9e5) / (55*nbits)) // 8, rounded DOWN
+        to a power of two (<= the ideal) to bound the number of re-jits — a
+        deliberate deviation: XLA compiles per static shape, and under-sizing
+        the batch only costs steps, never memory."""
         ideal = int(min(200.0 / max(ber, 1e-6), 9e5) / (55 * self.cfg.nbits)) // 8
         if ideal <= self.batch_frames:
             return self.batch_frames
@@ -186,7 +187,7 @@ class Trainer:
         best_loss, best_epoch, best_params = np.inf, 0, state.params
         history = []
         for epoch in range(max_epochs):
-            steps_per_epoch = max(1, tc.frames_per_epoch // self.batch_frames)
+            steps_per_epoch = max(1, tc.frames_per_epoch(self.cfg.nsymbol) // self.batch_frames)
             snr = jnp.full((self.batch_frames,), tc.snr, jnp.float32)
             losses = []
             last_ber = 0.5
