@@ -35,53 +35,65 @@ def get_context(plan: SubcarrierPlan, channel: str) -> E.EstimatorContext:
     return _CTX_CACHE[key]
 
 
+def _build_point_fn(link: MatlabLink, ctx: E.EstimatorContext, eq_idx: int):
+    """Jitted per-batch kernel with SNR/beta as TRACED scalars, so one
+    compile serves the whole SNR sweep (the old per-point closure recompiled
+    an identical program for every SNR x modulation)."""
+
+    @partial(jax.jit, static_argnums=4)
+    def one_batch(key, w_prior, snr_db, beta, nb):
+        # the estimator algebra (LS solves, Woodbury CP-enhanced, LMMSE) is
+        # ill-conditioned enough that TPU default matmul precision (bf16
+        # passes) corrupts it — measured 5x BER degradation on the
+        # CP-enhanced estimator (eq5) vs f32.  Pin full f32 for this trace.
+        with jax.default_matmul_precision("float32"):
+            snr_lin = 10.0 ** (snr_db / 10.0)
+            k1, k2, k3 = jax.random.split(key, 3)
+            tx_idx, tx_wave = link.transmit(k1, nb)
+            ch = link.fade(k2, tx_wave)
+            y = link.awgn_measured(k3, ch.y, snr_db)
+            rx_freq = link.rx_front(y)
+            if link.channel == "awgn":
+                eq_grid = rx_freq
+            else:
+                hhat = link.pilot_ls(rx_freq)
+                g_est, x_eq = E.estimate(
+                    eq_idx, ctx, rx_freq, hhat, ch.g, snr_lin, beta,
+                    w_prior=w_prior, y_time=y)
+                if x_eq is not None:
+                    eq_grid = x_eq
+                else:
+                    d = cfloat.abs2_iq(g_est) + 1e-12
+                    eq_grid = cfloat.cmul_iq(
+                        rx_freq, cfloat.conj_iq(g_est)) / d[..., None]
+            rx_idx = link.demodulate(eq_grid)
+            return link.count_errors(tx_idx, rx_idx)
+
+    return one_batch
+
+
 def run_point(link: MatlabLink, ctx: E.EstimatorContext, eq_idx: int,
               key: jax.Array, snr_db: float, n_frames: int,
               batch: int = 2000, beta: float = 1.0):
     """One SNR point: returns (ber, ser)."""
-    plan = link.plan
     snr_lin = 10.0 ** (snr_db / 10.0)
     w_prior = None
     if eq_idx in (8, 9):
         rhh = ctx.rhh_uni if eq_idx == 8 else ctx.rhh_exp
         w_prior = E.precompute_prior_w(rhh, beta, snr_lin)
 
-    @partial(jax.jit, static_argnums=2)
-    def one_batch(key, w_prior, nb):
-        # the estimator algebra (LS solves, Woodbury CP-enhanced, LMMSE) is
-        # ill-conditioned enough that TPU default matmul precision (bf16
-        # passes) corrupts it — measured 5x BER degradation on the
-        # CP-enhanced estimator (eq5) vs f32.  Pin full f32 for this trace.
-        with jax.default_matmul_precision("float32"):
-            return _one_batch_impl(key, w_prior, nb)
-
-    def _one_batch_impl(key, w_prior, nb):
-        k1, k2, k3 = jax.random.split(key, 3)
-        tx_idx, tx_wave = link.transmit(k1, nb)
-        ch = link.fade(k2, tx_wave)
-        y = link.awgn_measured(k3, ch.y, snr_db)
-        rx_freq = link.rx_front(y)
-        if link.channel == "awgn":
-            eq_grid = rx_freq
-        else:
-            hhat = link.pilot_ls(rx_freq)
-            g_est, x_eq = E.estimate(
-                eq_idx, ctx, rx_freq, hhat, ch.g, snr_lin, beta,
-                w_prior=w_prior, y_time=y)
-            if x_eq is not None:
-                eq_grid = x_eq
-            else:
-                d = cfloat.abs2_iq(g_est) + 1e-12
-                eq_grid = cfloat.cmul_iq(
-                    rx_freq, cfloat.conj_iq(g_est)) / d[..., None]
-        rx_idx = link.demodulate(eq_grid)
-        return link.count_errors(tx_idx, rx_idx)
+    fns = getattr(link, "_point_fns", None)
+    if fns is None:
+        fns = link._point_fns = {}
+    if eq_idx not in fns:
+        fns[eq_idx] = _build_point_fn(link, ctx, eq_idx)
+    one_batch = fns[eq_idx]
 
     # fast-LMMSE needs the realized long-term Rhh first
     if eq_idx == 10:
-        kf, key = jax.random.split(key)
-        _, wv = link.transmit(kf, min(batch, n_frames))
-        g_ens = link.fade(kf, wv).g
+        kf1, kf2, key = jax.random.split(key, 3)
+        _, wv = link.transmit(kf1, min(batch, n_frames))
+        g_ens = link.fade(kf2, wv).g
         w_prior = E.precompute_longterm_w(g_ens, beta, snr_lin)
 
     bit_err = sym_err = bits = syms = 0
@@ -89,7 +101,7 @@ def run_point(link: MatlabLink, ctx: E.EstimatorContext, eq_idx: int,
     while remaining > 0:
         nb = min(batch, remaining)
         key, k = jax.random.split(key)
-        be, se, tb, ts = one_batch(k, w_prior, nb)
+        be, se, tb, ts = one_batch(k, w_prior, float(snr_db), float(beta), nb)
         bit_err += int(be); sym_err += int(se)
         bits += int(tb); syms += int(ts)
         remaining -= nb
@@ -121,8 +133,8 @@ def run_benchmark(plan: SubcarrierPlan, channel: str, eq_idx: int,
                    f"SNR={snr}: BER={ber:.6f}")
     mobile_str = "_mobile" if mobile else ""
     cp_str = "" if longcp else "_shortcp"
-    name = (f"BER_OFDM_{channel}_{E.ESTIMATOR_NAMES[eq_idx]}_lte_"
-            f"{plan.nfft}_Gray{mobile_str}{cp_str}.csv")
+    name = (f"BER_OFDM_{channel}_{E.ESTIMATOR_NAMES[eq_idx]}_"
+            f"{plan.pilot_type}_{plan.nfft}_Gray{mobile_str}{cp_str}.csv")
     os.makedirs(save_dir, exist_ok=True)
     path = os.path.join(save_dir, name)
     np.savetxt(path, ber_all, delimiter=",")

@@ -45,7 +45,8 @@ BETAS = {2: 1.0, 4: 1.0, 8: 17.0 / 9.0, 16: 17.0 / 9.0}
 
 
 def _iq(c: np.ndarray) -> jnp.ndarray:
-    return jnp.asarray(np.stack([c.real, c.imag], -1), jnp.float32)
+    """Host complex -> device IQ pair (alias of ops.cfloat.from_complex)."""
+    return jnp.asarray(cfloat.from_complex(np.asarray(c)))
 
 
 @dataclasses.dataclass
@@ -78,6 +79,10 @@ def make_context(plan: SubcarrierPlan, channel: str) -> EstimatorContext:
         trms, _ = pdp.rms_delay_spread(prof.tap_delay_ns * 1e-9,
                                        prof.tap_pow_db)
         trms_samples = trms * plan.sample_rate
+        # reference parity: MATLAB passes the tap COUNT as mmse_pdp's L
+        # (`OFDM_Benchmark_dev.m:200-201` uses length(tau)), not the delay
+        # support in samples — physically questionable at high sample rates
+        # but kept verbatim so eq 8/9 curves are comparable.
         n_paths = prof.n_taps
         rhh_uni = pdp.mmse_pdp(n_paths, k, trms_samples, True)
         rhh_exp = pdp.mmse_pdp(n_paths, k, max(trms_samples, 1e-6), False)
@@ -161,6 +166,9 @@ def estimate(eq_idx: int, ctx: EstimatorContext, rx_freq: jnp.ndarray,
             g0 = jnp.broadcast_to(hbar, hls.shape)
         else:
             hbar = jnp.mean(hls, axis=1, keepdims=True)
+            # reference parity: MATLAB's eq6 ALMMSE init omits eq7's
+            # /Frame_size scaling (`OFDM_Benchmark_dev.m`: eq6 Rhh=h*h' vs
+            # eq7 Rhh=h*h'/Frame_size) — kept verbatim.
             g1 = _rank1_lmmse(hbar, hbar, c)
             g0 = jnp.broadcast_to(g1, hls.shape)
         x_eq, g_est = cp_enhanced_frame(rx_freq, g0, y_time, plan.cp_len)

@@ -48,7 +48,15 @@ def linear_operator(pilot_xy: np.ndarray, eval_xy: np.ndarray) -> np.ndarray:
     p = np.asarray(pilot_xy, dtype=np.float64)
     e = np.asarray(eval_xy, dtype=np.float64)
     a = np.zeros((len(e), len(p)))
-    tri = Delaunay(p)
+    try:
+        tri = Delaunay(p)
+    except Exception:
+        # degenerate (collinear) pilot geometry — e.g. the 'block' scheme
+        # puts every pilot in one symbol; fall back to nearest-pilot
+        from scipy.spatial import cKDTree as _KD
+        _, nearest = _KD(p).query(e)
+        a[np.arange(len(e)), nearest] = 1.0
+        return a
     simplex = tri.find_simplex(e)
     inside = simplex >= 0
     if inside.any():

@@ -121,6 +121,11 @@ class MatlabLink:
         g = cfloat.dft_iq(gt, plan.nfft)
         offsets = np.zeros(b, dtype=np.int32)              # causal filter(h, x)
         if self.fd > 0.1:
+            # history length n_taps (< n_fir): reference parity with the
+            # Python Doppler path (`dev/py/radio.py:401-402` prepends exactly
+            # n_taps samples), which truncates the first n_fir-1-n_taps
+            # ISI samples of each symbol; MATLAB's full filter(h, x) keeps
+            # them — documented deviation shared with the reference.
             y = fir.fir_per_symbol_iq(tx, gt, p.n_taps, offsets)
         else:
             flat = tx.reshape(b, s * n_sc, 2)

@@ -45,6 +45,7 @@ class SubcarrierPlan:
     n_guard: int            # guard SCs per symbol incl. edges (G), excl. DC
     n_dc: int               # DC subcarriers
     pilot_value: complex
+    pilot_type: str         # scheme name ('lte'|'scattered'|'block'|'comb')
     # per-symbol maps
     data_carriers: np.ndarray    # [n_data_sym] SC indices holding data (per-sym plan)
     pilot_carriers: np.ndarray   # [P] base pilot comb (symbol-0 comb).  Only
@@ -138,7 +139,7 @@ def _build_plan_cached(nbits, nfft, nsymbol, npilot, nguard, pilot, longcp):
 
     return SubcarrierPlan(
         nfft=k, nsymbol=nsymbol, cp_len=cp, sample_rate=fs, n_rb=n_rb,
-        n_pilot=p, n_guard=g, n_dc=dc, pilot_value=3 + 3j,
+        n_pilot=p, n_guard=g, n_dc=dc, pilot_value=3 + 3j, pilot_type=pilot,
         data_carriers=data_carriers, pilot_carriers=pilot_carriers,
         guard_carriers=guard_carriers, effec_carriers=effec,
         data_sc=data_sc, pilot_sc=pilot_sc, guard_sc=guard_sc, effec_sc=effec_sc,

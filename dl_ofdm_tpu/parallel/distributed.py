@@ -36,10 +36,13 @@ def initialize_multihost(coordinator: Optional[str] = None,
 
 def scaling_efficiency(make_step, make_args, device_counts=(1, 2, 4, 8),
                        iters: int = 10, log_fn=print) -> dict[int, float]:
-    """Measure per-device throughput at several mesh widths.
+    """Measure step rate at several mesh widths.
 
     `make_step(n_devices)` returns a jitted step closure; `make_args(n)`
-    its (sharded) inputs.  Returns {n: samples_per_sec}.
+    its (sharded) inputs.  Returns {n: steps_per_sec} (multiply by your
+    per-step sample count for throughput).  The printed efficiency assumes
+    constant per-device work across widths (weak scaling): make_args should
+    scale the global batch with n.
     """
     results = {}
     for n in device_counts:
