@@ -159,10 +159,10 @@ class RayleighChannel:
         # exactly "every 3rd frame" (reference `radio.py:460`), so the batch
         # can partition with STATIC reshapes/slices — each FIR path runs only
         # on its own rows, no frame convolved twice, no device gathers.
-        # Opt-in (`_partition_doppler = True`): measured on CPU the fused
-        # compute-both+where path is faster (72 vs 88 ms/512-frame step; the
-        # partition's reshape/concat copies cost more than the saved FLOPs);
-        # flip the default if a TPU measurement says otherwise.
+        # Opt-in (`_partition_doppler = True`): the fused compute-both+where
+        # path wins on BOTH backends (CPU 72 vs 88 ms, TPU v5e 0.64 vs 0.69
+        # ms per 512-frame step) — the partition's reshape/concat copies cost
+        # more than the saved FLOPs; kept for odd future shapes.
         per = 3 if self.channel == "mixrayleigh" else None
         doppler_on = self.has_doppler and dop_mask.any()
         if (doppler_on and per is not None and b % per == 0

@@ -28,6 +28,10 @@ def main():
         state = tr.init_state(key)
         snr = jnp.full((tr.batch_frames,), 5.0, jnp.float32)
         state, _ = tr.train_step(state, key, snr)
+        # warm the tiny key-split program too: its first-use compile (~1s)
+        # otherwise lands inside the first timed window and dominates it
+        key, k = jax.random.split(key)
+        state, _ = tr.train_step(state, k, snr)
         jax.block_until_ready(state.params)
         iters = 20
         t0 = time.perf_counter()
