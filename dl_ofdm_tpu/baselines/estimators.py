@@ -45,8 +45,13 @@ BETAS = {2: 1.0, 4: 1.0, 8: 17.0 / 9.0, 16: 17.0 / 9.0}
 
 
 def _iq(c: np.ndarray) -> jnp.ndarray:
-    """Host complex -> device IQ pair (alias of ops.cfloat.from_complex)."""
-    return jnp.asarray(cfloat.from_complex(np.asarray(c)))
+    """Host complex -> device IQ pair.
+
+    MUST split re/im in NumPy BEFORE any jnp call: `cfloat.from_complex`
+    uses jnp.real/imag, which on this TPU backend (no complex dtype) dies
+    with UNIMPLEMENTED when handed a host complex array."""
+    c = np.asarray(c)
+    return jnp.asarray(np.stack([c.real, c.imag], -1).astype(np.float32))
 
 
 @dataclasses.dataclass
