@@ -1,0 +1,114 @@
+"""Phase-8 queue: short-CP equalized arm + remaining equalizer ablations.
+
+Completes two protocol families of the reference driver
+(`dev/py/run_local_ofdm.py:30-119` loops `longcp in {False, True}` over BOTH
+phases, but phase B / the equalizer stage had only been generated for
+longcp=True so far) and the `--opt` ablation registry
+(`dev/py/ofdmreceiver_np_mp.py:293-312`):
+
+  1. short-CP (7%) AWGN base model (re-trained if its gitignored checkpoint
+     was cleaned) -> short-CP equalizer transfer on mixRayleigh ->
+     cross-channel sweep (`*_shortcp_Equalizer0_*` CSV family);
+  2. equalizer variants opt=2/4/5 (the `equalizer_noresdl{,2,4}` minimal /
+     ifft-backtransform family) trained on mixRayleigh + cross-channel sweeps;
+  3. a mixAll-trained equalizer (channel mix includes AWGN frames,
+     `dev/py/radio.py:468-490`) + cross-channel sweep.
+
+All steps resume by output-CSV existence (reference resume scheme,
+`dev/py/run_local_ofdm.py:82-90`); AWGN base checkpoints are reproduced
+on demand when the checkpoint directory is missing.
+"""
+import os
+import sys
+import time
+
+import jax
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from dl_ofdm_tpu.config import OFDMConfig, TrainConfig
+from dl_ofdm_tpu.eval.sweep import ber_sweep, cross_channel_sweep
+from dl_ofdm_tpu.train import checkpoint as ckpt
+from dl_ofdm_tpu.train.equalizer_loop import EqualizerTrainer
+from dl_ofdm_tpu.train.loop import Trainer
+
+RUNS = os.path.dirname(os.path.abspath(__file__))
+
+
+def log(*a):
+    print(f"[{time.strftime('%H:%M:%S')}]", *a, flush=True)
+
+
+def ensure_awgn_base(nbits: int = 1, snr: float = 5.0, epochs: int = 300,
+                     longcp: bool = True):
+    """Return (cfg, token, params) for the AWGN-pretrained base receiver,
+    training it if the checkpoint directory is absent."""
+    token = (f"OFDM_Dense3_{nbits}mod_snr{int(snr)}_cpTrue"
+             f"{'' if longcp else '_shortcp'}")
+    cfg = OFDMConfig(nbits=nbits, longcp=longcp)
+    tc = TrainConfig(snr=snr, batch_size=512, max_epoch_num=epochs,
+                     early_stop=100, token=token, save_dir=RUNS)
+    tr = Trainer(cfg, tc, channel="AWGN")
+    ckpt_dir = os.path.join(RUNS, token)
+    if os.path.isdir(ckpt_dir):
+        state = ckpt.restore(ckpt_dir, tr.init_state(jax.random.PRNGKey(0)))
+        log(f"base {token}: restored checkpoint")
+        return cfg, token, state.params
+    t0 = time.time()
+    state, info = tr.fit(log_fn=lambda *a: None)
+    log(f"base {token}: trained best={info['best_epoch']+1} "
+        f"in {time.time()-t0:.0f}s loss={info['best_loss']:.5f}")
+    ckpt.save(ckpt_dir, state)
+    csv = os.path.join(RUNS, f"Test_DCCN_{token}_AWGN.csv")
+    if not os.path.isfile(csv):
+        res = ber_sweep(tr, state.params, jax.random.PRNGKey(999),
+                        snrs=range(-10, 31), frames_per_point=20000,
+                        batch_frames=2000, log_fn=lambda *a: None)
+        res.to_csv(csv)
+        log(f"base {token}: AWGN sweep written")
+    return cfg, token, state.params
+
+
+def train_equalizer8(opt: int = 0, epochs: int = 600, mobile: bool = False,
+                     longcp: bool = True, channel: str = "mixRayleigh"):
+    suffix = "_mobile" if mobile else ""
+    cfg, token, base_params = ensure_awgn_base(longcp=longcp)
+    done = os.path.join(
+        RUNS, f"Test_DCCN_{token}_Equalizer{opt}_{channel}"
+              f"_test_chan_Custom{suffix}.csv")
+    if os.path.isfile(done):
+        log(f"skip equalizer{suffix} opt={opt} cp={longcp} {channel} "
+            "(csv exists)")
+        return
+    tc = TrainConfig(snr=5.0, batch_size=512, max_epoch_num=epochs,
+                     early_stop=150, token=token, save_dir=RUNS, opt=opt)
+    eq = EqualizerTrainer(cfg, tc, channel=channel, mobile=mobile,
+                          pretrained_rx=base_params)
+    t0 = time.time()
+    state, info = eq.fit(log_fn=lambda *a: None)
+    log(f"equalizer{suffix} opt={opt} cp={longcp} {channel}: "
+        f"trained best={info['best_epoch']} in {time.time()-t0:.0f}s "
+        f"loss={info['best_loss']:.5f}")
+    ckpt.save(os.path.join(RUNS, f"{token}_Equalizer{opt}_{channel}{suffix}"),
+              state)
+
+    def make_trainer(test_chan, mob):
+        return EqualizerTrainer(cfg, tc, channel=test_chan, mobile=mob,
+                                pretrained_rx=base_params)
+
+    cross_channel_sweep(make_trainer, state.params, jax.random.PRNGKey(777),
+                        token, opt, channel, mobile=mobile, save_dir=RUNS,
+                        frames_per_point=30000, batch_frames=3000,
+                        log_fn=lambda *a: None)
+    log(f"equalizer{suffix} opt={opt} cp={longcp} {channel}: sweeps done")
+
+
+if __name__ == "__main__":
+    # 1. short-CP equalized arm (reference phase B, longcp=False)
+    train_equalizer8(opt=0, longcp=False)
+    # 2. remaining --opt ablations (noresdl family)
+    for opt in (2, 4, 5):
+        train_equalizer8(opt=opt)
+    # 3. mixAll channel mix (fading + AWGN frames)
+    train_equalizer8(opt=0, channel="mixAll")
+    log("PHASE8 DONE")
