@@ -111,16 +111,29 @@ def run_point(link: MatlabLink, ctx: E.EstimatorContext, eq_idx: int,
 def run_benchmark(plan: SubcarrierPlan, channel: str, eq_idx: int,
                   longcp: bool = True, mobile: bool = False,
                   n_frames: int = 20000, snrs=tuple(range(-10, 31, 5)),
-                  seed: int = 0, save_dir: str = ".", log_fn=print):
-    """Full sweep for one (channel, estimator); writes the MATLAB-schema CSV."""
+                  seed: int = 0, save_dir: str = ".", log_fn=print,
+                  mods=None, tag: str = ""):
+    """Full sweep for one (channel, estimator); writes the MATLAB-schema CSV.
+
+    `mods=None` keeps MATLAB parity (all four modulations for AWGN, BPSK
+    only for fading, `OFDM_Benchmark_dev.m:219-223`).  Passing an explicit
+    subset of (2, 4, 8, 16) sweeps those modulations on any channel — the
+    higher-order-QAM-over-Rayleigh configs of BASELINE.json (#3/#4) that the
+    MATLAB harness never exercised; rows land in the same schema slots
+    (row 1+index in the canonical modulation order).  `tag` is appended to
+    the filename so such extended sweeps never collide with parity CSVs.
+    """
     is_awgn = channel.lower() == "awgn"
-    mods = (2, 4, 8, 16) if is_awgn else (2,)
+    if mods is None:
+        mods = (2, 4, 8, 16) if is_awgn else (2,)
+    mod_order = (2, 4, 8, 16)
     ber_all = np.zeros((5, len(snrs)))
     ser_all = np.zeros((5, len(snrs)))
     ber_all[0] = ser_all[0] = snrs
     ctx = get_context(plan, channel)
     key = jax.random.PRNGKey(seed)
-    for mi, m in enumerate(mods):
+    for m in mods:
+        mi = mod_order.index(m)
         link = MatlabLink(plan, m, channel, mobile)
         beta = E.BETAS[m]
         for si, snr in enumerate(snrs):
@@ -134,7 +147,7 @@ def run_benchmark(plan: SubcarrierPlan, channel: str, eq_idx: int,
     mobile_str = "_mobile" if mobile else ""
     cp_str = "" if longcp else "_shortcp"
     name = (f"BER_OFDM_{channel}_{E.ESTIMATOR_NAMES[eq_idx]}_"
-            f"{plan.pilot_type}_{plan.nfft}_Gray{mobile_str}{cp_str}.csv")
+            f"{plan.pilot_type}_{plan.nfft}_Gray{mobile_str}{cp_str}{tag}.csv")
     os.makedirs(save_dir, exist_ok=True)
     path = os.path.join(save_dir, name)
     np.savetxt(path, ber_all, delimiter=",")

@@ -231,3 +231,21 @@ def test_cp_enhanced_static_cache_is_trace_safe():
     # cached values are host constants, not device tracers
     for c in cpe._static(n, l):
         assert isinstance(c, np.ndarray)
+
+
+def test_run_benchmark_mods_override_fills_schema_rows(tmp_path):
+    """`mods=` sweeps higher-order QAM on a fading channel (BASELINE.json
+    configs #3/#4) into the canonical schema rows; `tag` keeps the filename
+    distinct from MATLAB-parity CSVs."""
+    from dl_ofdm_tpu.baselines.classical_rx import run_benchmark
+    plan = build_plan(OFDMConfig())
+    ber, _, path = run_benchmark(
+        plan, "EVA", 1, n_frames=60, snrs=(10, 30), mods=(16,),
+        tag="_allmod", save_dir=str(tmp_path), log_fn=lambda *a: None)
+    assert path.endswith("BER_OFDM_EVA_Perfect_lte_64_Gray_allmod.csv")
+    assert ber.shape == (5, 2)
+    # 16QAM lands in row 4 (canonical order 2/4/8/16); untouched rows stay 0
+    assert ber[4].sum() > 0
+    assert ber[1].sum() == 0 and ber[2].sum() == 0 and ber[3].sum() == 0
+    # perfect CSI at 30 dB decodes 16QAM on EVA mostly correctly
+    assert ber[4, 1] < 0.1
