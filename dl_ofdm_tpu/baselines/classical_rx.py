@@ -124,11 +124,23 @@ def run_benchmark(plan: SubcarrierPlan, channel: str, eq_idx: int,
     the filename so such extended sweeps never collide with parity CSVs.
     """
     is_awgn = channel.lower() == "awgn"
-    if mods is None:
-        mods = (2, 4, 8, 16) if is_awgn else (2,)
     mod_order = (2, 4, 8, 16)
     ber_all = np.zeros((5, len(snrs)))
     ser_all = np.zeros((5, len(snrs)))
+    if mods is None:
+        mods = mod_order if is_awgn else (2,)
+    else:
+        bad = set(mods) - set(mod_order)
+        if bad:
+            raise ValueError(f"mods takes modulation orders from {mod_order},"
+                             f" got {sorted(bad)}")
+        if not tag:
+            raise ValueError("explicit mods= requires a filename tag= so "
+                             "MATLAB-parity CSVs are never overwritten")
+        # non-parity sweep: unswept rows are NaN (loud) rather than the
+        # schema's zeros, which would read as perfect decoding
+        ber_all[1:] = np.nan
+        ser_all[1:] = np.nan
     ber_all[0] = ser_all[0] = snrs
     ctx = get_context(plan, channel)
     key = jax.random.PRNGKey(seed)

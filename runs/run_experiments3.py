@@ -30,7 +30,8 @@ def log(*a):
 
 
 def classical(chan: str, eq_idx: int, mobile: bool = False,
-              longcp: bool = True, n_frames: int = 20000):
+              longcp: bool = True, n_frames: int = 20000,
+              mods=None, tag: str = ""):
     from dl_ofdm_tpu.baselines import estimators as E
     from dl_ofdm_tpu.baselines.classical_rx import run_benchmark
     from dl_ofdm_tpu.ofdm.plan import build_plan
@@ -38,7 +39,7 @@ def classical(chan: str, eq_idx: int, mobile: bool = False,
     mobile_str = "_mobile" if mobile else ""
     cp_str = "" if longcp else "_shortcp"
     name = (f"BER_OFDM_{chan}_{E.ESTIMATOR_NAMES[eq_idx]}_lte_64_Gray"
-            f"{mobile_str}{cp_str}.csv")
+            f"{mobile_str}{cp_str}{tag}.csv")
     if os.path.isfile(os.path.join(RUNS, name)):
         log(f"skip {name} (exists)")
         return
@@ -47,11 +48,12 @@ def classical(chan: str, eq_idx: int, mobile: bool = False,
     try:
         _, _, path = run_benchmark(plan, chan, eq_idx, longcp=longcp,
                                    mobile=mobile, n_frames=n_frames,
+                                   mods=mods, tag=tag,
                                    save_dir=RUNS, log_fn=lambda *a: None)
-        log(f"baseline {chan}/{eq_idx}{mobile_str}{cp_str}: "
+        log(f"baseline {chan}/{eq_idx}{mobile_str}{cp_str}{tag}: "
             f"{time.time()-t0:.0f}s -> {path}")
     except Exception as e:
-        log(f"baseline {chan}/{eq_idx}{mobile_str}{cp_str} FAILED: {e}")
+        log(f"baseline {chan}/{eq_idx}{mobile_str}{cp_str}{tag} FAILED: {e}")
 
 
 def train_awgn_variant(nbits: int, snr: float, epochs: int, *,

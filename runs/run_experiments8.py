@@ -39,12 +39,18 @@ def log(*a):
     print(f"[{time.strftime('%H:%M:%S')}]", *a, flush=True)
 
 
+def base_token(nbits: int = 1, snr: float = 5.0, longcp: bool = True) -> str:
+    return (f"OFDM_Dense3_{nbits}mod_snr{int(snr)}_cpTrue"
+            f"{'' if longcp else '_shortcp'}")
+
+
 def ensure_awgn_base(nbits: int = 1, snr: float = 5.0, epochs: int = 300,
                      longcp: bool = True):
     """Return (cfg, token, params) for the AWGN-pretrained base receiver,
-    training it if the checkpoint directory is absent."""
-    token = (f"OFDM_Dense3_{nbits}mod_snr{int(snr)}_cpTrue"
-             f"{'' if longcp else '_shortcp'}")
+    training it if the checkpoint directory is absent.  The AWGN sweep CSV
+    is backfilled whenever missing — also on the restore path, so a run
+    killed between checkpoint save and sweep recovers."""
+    token = base_token(nbits, snr, longcp)
     cfg = OFDMConfig(nbits=nbits, longcp=longcp)
     tc = TrainConfig(snr=snr, batch_size=512, max_epoch_num=epochs,
                      early_stop=100, token=token, save_dir=RUNS)
@@ -53,12 +59,12 @@ def ensure_awgn_base(nbits: int = 1, snr: float = 5.0, epochs: int = 300,
     if os.path.isdir(ckpt_dir):
         state = ckpt.restore(ckpt_dir, tr.init_state(jax.random.PRNGKey(0)))
         log(f"base {token}: restored checkpoint")
-        return cfg, token, state.params
-    t0 = time.time()
-    state, info = tr.fit(log_fn=lambda *a: None)
-    log(f"base {token}: trained best={info['best_epoch']+1} "
-        f"in {time.time()-t0:.0f}s loss={info['best_loss']:.5f}")
-    ckpt.save(ckpt_dir, state)
+    else:
+        t0 = time.time()
+        state, info = tr.fit(log_fn=lambda *a: None)
+        log(f"base {token}: trained best={info['best_epoch']+1} "
+            f"in {time.time()-t0:.0f}s loss={info['best_loss']:.5f}")
+        ckpt.save(ckpt_dir, state)
     csv = os.path.join(RUNS, f"Test_DCCN_{token}_AWGN.csv")
     if not os.path.isfile(csv):
         res = ber_sweep(tr, state.params, jax.random.PRNGKey(999),
@@ -70,17 +76,24 @@ def ensure_awgn_base(nbits: int = 1, snr: float = 5.0, epochs: int = 300,
 
 
 def train_equalizer8(opt: int = 0, epochs: int = 600, mobile: bool = False,
-                     longcp: bool = True, channel: str = "mixRayleigh"):
+                     longcp: bool = True, channel: str = "mixRayleigh",
+                     nbits: int = 1, base_epochs: int = 300):
     suffix = "_mobile" if mobile else ""
-    cfg, token, base_params = ensure_awgn_base(longcp=longcp)
+    snr = 5.0 * nbits
+    token = base_token(nbits, snr, longcp)
     done = os.path.join(
         RUNS, f"Test_DCCN_{token}_Equalizer{opt}_{channel}"
               f"_test_chan_Custom{suffix}.csv")
+    # resume check BEFORE the base model is touched: on a fresh clone the
+    # result CSVs are in git but checkpoints are not, and retraining the
+    # base just to discover the equalizer is done would waste hours
     if os.path.isfile(done):
-        log(f"skip equalizer{suffix} opt={opt} cp={longcp} {channel} "
-            "(csv exists)")
+        log(f"skip equalizer{suffix} nbits={nbits} opt={opt} cp={longcp} "
+            f"{channel} (csv exists)")
         return
-    tc = TrainConfig(snr=5.0, batch_size=512, max_epoch_num=epochs,
+    cfg, token, base_params = ensure_awgn_base(
+        nbits=nbits, snr=snr, epochs=base_epochs, longcp=longcp)
+    tc = TrainConfig(snr=snr, batch_size=512, max_epoch_num=epochs,
                      early_stop=150, token=token, save_dir=RUNS, opt=opt)
     eq = EqualizerTrainer(cfg, tc, channel=channel, mobile=mobile,
                           pretrained_rx=base_params)

@@ -244,8 +244,17 @@ def test_run_benchmark_mods_override_fills_schema_rows(tmp_path):
         tag="_allmod", save_dir=str(tmp_path), log_fn=lambda *a: None)
     assert path.endswith("BER_OFDM_EVA_Perfect_lte_64_Gray_allmod.csv")
     assert ber.shape == (5, 2)
-    # 16QAM lands in row 4 (canonical order 2/4/8/16); untouched rows stay 0
-    assert ber[4].sum() > 0
-    assert ber[1].sum() == 0 and ber[2].sum() == 0 and ber[3].sum() == 0
+    # 16QAM lands in row 4 (canonical order 2/4/8/16); unswept rows are NaN
+    # (loud), not the parity schema's 0 (which would read as perfect decoding)
+    assert np.isfinite(ber[4]).all()
+    assert np.isnan(ber[1]).all() and np.isnan(ber[2]).all() \
+        and np.isnan(ber[3]).all()
     # perfect CSI at 30 dB decodes 16QAM on EVA mostly correctly
     assert ber[4, 1] < 0.1
+    # guards: bad modulation order and missing tag both fail loudly
+    with pytest.raises(ValueError, match="modulation orders"):
+        run_benchmark(plan, "EVA", 1, n_frames=60, snrs=(10,), mods=(3,),
+                      tag="_x", save_dir=str(tmp_path))
+    with pytest.raises(ValueError, match="tag"):
+        run_benchmark(plan, "EVA", 1, n_frames=60, snrs=(10,), mods=(16,),
+                      save_dir=str(tmp_path))
