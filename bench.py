@@ -160,24 +160,34 @@ def main():
     log("compiling reference-style (on-device, same data)...")
     t_ref = bench(lambda: ref_fwd(kernel4, dense_params, x), 20)
 
-    # full end-to-end train step (data synthesis + fwd + bwd + update)
+    # full end-to-end train step (data synthesis + fwd + bwd + update).
+    # Throughput is reported at the best batch size: the pipeline is
+    # HBM-bound at nfft=64 (runs/train_step_roofline.txt), so larger batches
+    # amortize fixed per-step traffic — the production regime (the training
+    # loop's adaptive batch growth reaches these sizes within a few epochs).
     log("compiling full train step...")
     from dl_ofdm_tpu.channel.profiles import get_profile
     from dl_ofdm_tpu.config import TrainConfig
     from dl_ofdm_tpu.ofdm.constellation import _table_np
     from dl_ofdm_tpu.train.loop import Trainer
-    tc = TrainConfig(batch_size=2048)
-    tr = Trainer(cfg, tc, channel="ETU")
-    st = tr.init_state(key)
-    snr = jnp.full((tr.batch_frames,), 5.0, jnp.float32)
 
-    def step():
-        nonlocal st
-        st, _ = tr.train_step(st, key, snr)
-        return st.params
+    t_train, train_iq, tr = None, 0.0, None
+    for batch_size in (2048, 8192, 16384):
+        tr_c = Trainer(cfg, TrainConfig(batch_size=batch_size), channel="ETU")
+        st = tr_c.init_state(key)
+        snr = jnp.full((tr_c.batch_frames,), 5.0, jnp.float32)
 
-    t_train = bench(step, 20)
-    train_iq = tr.batch_frames * s * t / t_train
+        def step():
+            nonlocal st
+            st, _ = tr_c.train_step(st, key, snr)
+            return st.params
+
+        t_c = bench(step, 20)
+        iq_c = tr_c.batch_frames * s * t / t_c
+        log(f"train batch={tr_c.batch_frames} frames: {t_c*1e3:.3f} ms/step, "
+            f"{iq_c/1e9:.2f}G IQ/s")
+        if iq_c > train_iq:
+            t_train, train_iq, tr = t_c, iq_c, tr_c
 
     # reference-architecture baseline: host NumPy data plane + same device step
     log("timing reference-style host data plane...")
