@@ -117,7 +117,10 @@ class Trainer:
 
     # -- loss ----------------------------------------------------------------
     def _loss_fn(self, params, bits, rx_in):
-        logits, _ = self.model.apply({"params": params}, rx_in)
+        out = self.model.apply({"params": params}, rx_in)
+        # convention: every receiver returns logits first; aux outputs vary
+        # by model (DCCN: fft_out; SingleGraphEqualizedRx: freq/eq/chest)
+        logits = out[0] if isinstance(out, tuple) else out
         ce = M.cross_entropy(logits, bits, self.tc.double_softmax)
         reg = M.l2_regularization(params)
         pred = M.bit_predictions(logits)
