@@ -133,12 +133,17 @@ def main():
     ref_fwd = jax.jit(ref_style_fwd)
 
     # ---- timing ------------------------------------------------------------
-    def bench(fn, iters: int):
+    def bench(fn, iters: int, repeats: int = 3):
+        """Min of `repeats` per-iter means — the tunneled device's timing is
+        noisy (shared host), and the minimum is the noise-free estimator."""
         jax.block_until_ready(fn())  # warmup/compile
-        t0 = time.perf_counter()
-        outs = [fn() for _ in range(iters)]
-        jax.block_until_ready(outs)
-        return (time.perf_counter() - t0) / iters
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            outs = [fn() for _ in range(iters)]
+            jax.block_until_ready(outs)
+            best = min(best, (time.perf_counter() - t0) / iters)
+        return best
 
     log("compiling ours...")
     t_ours = bench(lambda: fwd(params, x), 50)
@@ -193,13 +198,15 @@ def main():
     log("timing reference-style host data plane...")
     prof = get_profile("etu")
     rng = np.random.default_rng(0)
-    t0 = time.perf_counter()
-    n_rep = 3
-    for _ in range(n_rep):
+    # min over repeats, matching the device-side estimator: the first pass
+    # pays one-off page-fault/allocation costs ~20x the steady state
+    t_host = float("inf")
+    for _ in range(4):
+        t0 = time.perf_counter()
         numpy_reference_synthesis(rng, tr.batch_frames, plan, _table_np(1),
                                   prof.ch_coeff, prof.alpha_matrix,
                                   cfg.nfft, 5.0)
-    t_host = (time.perf_counter() - t0) / n_rep
+        t_host = min(t_host, time.perf_counter() - t0)
     t_ref_pipeline = t_host + t_train  # copy time excluded (conservative)
     base_train_iq = tr.batch_frames * s * t / t_ref_pipeline
 

@@ -36,14 +36,24 @@ import jax.numpy as jnp
 
 
 # Route exact-mode ComplexDense through the fused Pallas kernel
-# (ops/pallas_kernels.py).  Off by default; enable globally with
-# `set_use_pallas(True)` or per-layer with `use_pallas=True`.
-_USE_PALLAS_DEFAULT = False
+# (ops/pallas_kernels.py).  Default is AUTO: on for TPU-family backends
+# (measured 1.6x forward / 1.3x train-step vs the XLA lowering on-chip,
+# scripts/pallas_toggle_bench.py), off elsewhere (interpret mode is for
+# tests, not speed).  Override globally with `set_use_pallas(True/False)`
+# (None restores auto) or per-layer with `use_pallas=`.
+_USE_PALLAS_DEFAULT = None
 
 
-def set_use_pallas(enabled: bool) -> None:
+def set_use_pallas(enabled: bool | None) -> None:
     global _USE_PALLAS_DEFAULT
-    _USE_PALLAS_DEFAULT = bool(enabled)
+    _USE_PALLAS_DEFAULT = None if enabled is None else bool(enabled)
+
+
+def _default_use_pallas() -> bool:
+    if _USE_PALLAS_DEFAULT is not None:
+        return _USE_PALLAS_DEFAULT
+    from dl_ofdm_tpu.ops.pallas_kernels import _on_tpu
+    return _on_tpu()
 
 
 # canonical complex-pair primitives live in ops.cfloat; aliased here so the
@@ -80,7 +90,7 @@ class ComplexDense(nn.Module):
         k = x.shape[-2]
         f = self.features
         init = nn.initializers.lecun_normal()
-        use_pallas = (_USE_PALLAS_DEFAULT if self.use_pallas is None
+        use_pallas = (_default_use_pallas() if self.use_pallas is None
                       else self.use_pallas)
         cd = (jnp.dtype(self.compute_dtype)
               if self.compute_dtype is not None else None)

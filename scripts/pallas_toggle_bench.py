@@ -62,7 +62,7 @@ def main():
         print(f"use_pallas={use_pallas}: fwd {t_fwd*1e3:.3f} ms/batch({b}), "
               f"train {t_train*1e3:.3f} ms/step({tr.batch_frames} frames)",
               flush=True)
-    complex_ops.set_use_pallas(False)
+    complex_ops.set_use_pallas(None)  # restore auto default
 
 
 if __name__ == "__main__":
