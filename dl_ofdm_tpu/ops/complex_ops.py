@@ -56,6 +56,15 @@ def _default_use_pallas() -> bool:
     return _on_tpu()
 
 
+def _pallas_fits(k: int, f: int, tile_b: int = 512) -> bool:
+    """Scoped-VMEM guard for the fused kernel: both weight panels are
+    VMEM-resident (and may be double-buffered by Mosaic) plus the IO tiles.
+    Large-nfft LTE grids (e.g. K=1280, F=1024 at nfft=2048) exceed the 16MB
+    scoped limit — fall back to the XLA lowering there; the fused kernel's
+    win is the small-grid regime where HBM traffic dominates anyway."""
+    return (k * f + tile_b * (k + f)) * 2 * 2 * 4 <= 12 * 2**20
+
+
 # canonical complex-pair primitives live in ops.cfloat; aliased here so the
 # layer module's public names resolve to ONE implementation
 from dl_ofdm_tpu.ops.cfloat import (cmul_iq as complex_mul,          # noqa: E402
@@ -105,7 +114,8 @@ class ComplexDense(nn.Module):
         if self.mode == "exact":
             wr = self.param("wr", init, (k, f))
             wi = self.param("wi", init, (k, f))
-            if use_pallas and self.recombine == "true" and cd is None:
+            if (use_pallas and self.recombine == "true" and cd is None
+                    and _pallas_fits(k, f)):
                 from dl_ofdm_tpu.ops.pallas_kernels import complex_dense_iq
                 y = complex_dense_iq(x, wr, wi)
                 if self.use_bias:

@@ -269,3 +269,14 @@ def test_bf16_compute_dtype_matches_f32():
                                atol=0.12, rtol=0.12)
     err = np.max(np.abs(np.asarray(ybf) - np.asarray(y32)))
     assert err > 0  # genuinely computed in bf16, not silently upcast
+
+
+def test_pallas_vmem_guard_boundaries():
+    """The fused-kernel VMEM guard admits the reference-scale grids and
+    rejects the large-LTE shapes that exceeded the 16MB scoped limit
+    (K=1280/F=1024 at nfft=2048 OOM'd on-chip before the guard)."""
+    from dl_ofdm_tpu.ops.complex_ops import _pallas_fits
+    assert _pallas_fits(80, 64)        # nfft=64 reference grid
+    assert _pallas_fits(320, 256)      # nfft=256 production grid
+    assert not _pallas_fits(1280, 1024)   # nfft=2048: 21MB+ of panels
+    assert not _pallas_fits(2560, 2048)
