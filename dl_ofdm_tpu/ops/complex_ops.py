@@ -56,13 +56,14 @@ def _default_use_pallas() -> bool:
     return _on_tpu()
 
 
-def _pallas_fits(k: int, f: int, tile_b: int = 512) -> bool:
+def _pallas_fits(k: int, f: int, tile_b: int = 512, itemsize: int = 4) -> bool:
     """Scoped-VMEM guard for the fused kernel: both weight panels are
     VMEM-resident (and may be double-buffered by Mosaic) plus the IO tiles.
     Large-nfft LTE grids (e.g. K=1280, F=1024 at nfft=2048) exceed the 16MB
     scoped limit — fall back to the XLA lowering there; the fused kernel's
-    win is the small-grid regime where HBM traffic dominates anyway."""
-    return (k * f + tile_b * (k + f)) * 2 * 2 * 4 <= 12 * 2**20
+    win is the small-grid regime where HBM traffic dominates anyway.
+    bf16 inputs (compute_dtype) halve the working set and double the reach."""
+    return (k * f + tile_b * (k + f)) * 2 * 2 * itemsize <= 12 * 2**20
 
 
 # canonical complex-pair primitives live in ops.cfloat; aliased here so the
@@ -114,10 +115,18 @@ class ComplexDense(nn.Module):
         if self.mode == "exact":
             wr = self.param("wr", init, (k, f))
             wi = self.param("wi", init, (k, f))
-            if (use_pallas and self.recombine == "true" and cd is None
-                    and _pallas_fits(k, f)):
+            cd_ok = cd is None or cd == jnp.bfloat16
+            if (use_pallas and self.recombine == "true" and cd_ok
+                    and _pallas_fits(k, f,
+                                     itemsize=2 if cd is not None else 4)):
                 from dl_ofdm_tpu.ops.pallas_kernels import complex_dense_iq
-                y = complex_dense_iq(x, wr, wi)
+                if cd is None:
+                    y = complex_dense_iq(x, wr, wi)
+                else:
+                    # bf16 GEMM inputs, f32 accumulation inside the kernel —
+                    # same numerics contract as the mm() path below
+                    y = complex_dense_iq(x.astype(cd), wr.astype(cd),
+                                         wi.astype(cd))
                 if self.use_bias:
                     br = self.param("br", nn.initializers.zeros, (f,))
                     bi = self.param("bi", nn.initializers.zeros, (f,))

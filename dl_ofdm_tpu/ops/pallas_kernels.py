@@ -113,7 +113,10 @@ def _cdense_bwd(res, g):
     dxi = -gr @ wi.T + gi @ wr.T
     dwr = xr.T @ gr + xi.T @ gi
     dwi = xr.T @ gi - xi.T @ gr
-    return dxr, dxi, dwr, dwi
+    # cotangents must match primal dtypes (bf16 inputs under compute_dtype;
+    # the upstream astype's VJP then restores f32 parameter gradients)
+    return (dxr.astype(xr.dtype), dxi.astype(xi.dtype),
+            dwr.astype(wr.dtype), dwi.astype(wi.dtype))
 
 
 complex_dense.defvjp(_cdense_fwd, _cdense_bwd)

@@ -280,3 +280,35 @@ def test_pallas_vmem_guard_boundaries():
     assert _pallas_fits(320, 256)      # nfft=256 production grid
     assert not _pallas_fits(1280, 1024)   # nfft=2048: 21MB+ of panels
     assert not _pallas_fits(2560, 2048)
+
+
+def test_pallas_bf16_path_matches_xla_bf16_path():
+    """compute_dtype='bfloat16' routes through the fused kernel (bf16 GEMM
+    inputs, f32 accumulation) and must match the XLA mm() lowering; the
+    custom VJP must return f32 parameter gradients through the astype."""
+    import jax
+    import jax.numpy as jnp
+    from dl_ofdm_tpu.ops.complex_ops import ComplexDense
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (6, 40, 2), jnp.float32)
+
+    def build(use_pallas):
+        return ComplexDense(32, compute_dtype="bfloat16",
+                            use_pallas=use_pallas)
+
+    params = build(False).init(jax.random.PRNGKey(1), x)
+    y_xla = build(False).apply(params, x)
+    y_pal = build(True).apply(params, x)
+    assert y_pal.dtype == y_xla.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(y_pal), np.asarray(y_xla),
+                               rtol=2e-2, atol=2e-2)
+
+    def loss(p, mod):
+        return jnp.sum(mod.apply(p, x) ** 2)
+
+    g_xla = jax.grad(loss)(params, build(False))
+    g_pal = jax.grad(loss)(params, build(True))
+    for a, b in zip(jax.tree.leaves(g_xla), jax.tree.leaves(g_pal)):
+        assert a.dtype == jnp.float32 and b.dtype == jnp.float32
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-2, atol=5e-2)
