@@ -95,43 +95,10 @@ def main():
         logits, _ = model.apply({"params": params}, x)
         return logits
 
-    # ---- reference-style baseline -----------------------------------------
-    # fft_like as the reference's conv-over-depth trick: input transposed to
-    # [B*S, 1(w), 2(depth), K(chan)], conv with kernel (1,K wide,1) 'SAME'
-    # producing 2F channels, then the a-d / b-c recombination.
-    f = cfg.nfilter
-    wr = params["fft_like"]["wr"]
-    wi = params["fft_like"]["wi"]
-    conv_kernel = jnp.concatenate([wr, wi], axis=-1)  # [K, 2F]
-    kernel4 = jnp.zeros((1, t, t, 2 * f), jnp.float32)
-    kernel4 = kernel4.at[0, t // 2].set(conv_kernel)  # only center tap live
-    dense_params = {k: v for k, v in params.items() if k != "fft_like"}
-
-    def ref_style_fwd(kernel4, dense_params, x):
-        bb = x.shape[0]
-        h = jnp.transpose(x, (0, 1, 3, 2)).reshape(bb * s, 1, 2, t)
-        h = jnp.moveaxis(h, -1, 1)  # NHWC with H=1? emulate conv3d: [B*S, 1, 2, K]
-        h = h.reshape(bb * s, 1, 2, t)
-        out = jax.lax.conv_general_dilated(
-            h, kernel4, (1, 1), "SAME",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))  # [B*S, 1, 2, 2F]
-        out = out.reshape(bb * s, 2, 2, f)
-        yr = out[:, 0, 0] - out[:, 1, 1]
-        yi = out[:, 0, 1] - out[:, 1, 0]
-        fft_out = jnp.stack([yr, yi], -1).reshape(bb, s, f, 2)
-        # same demodulation head
-        o = fft_out.reshape(bb, s * f * 2)
-        d = dense_params
-        o = o @ d["Dense_extract"]["kernel"] + d["Dense_extract"]["bias"]
-        o = o.reshape(bb, 1, plan.frame_size, 2)
-        h2 = o @ d["Dense_conv1x1"]["kernel"] + d["Dense_conv1x1"]["bias"]
-        h2 = leaky_relu(h2)
-        h2 = jnp.concatenate([h2, o], -1)
-        h2 = leaky_relu(h2 @ d["Dense_llr"]["kernel"] + d["Dense_llr"]["bias"])
-        return h2.reshape(bb, plan.frame_size, cfg.nbits, 2)
-
-    ref_fwd = jax.jit(ref_style_fwd)
-
+    # ---- headline metric FIRST: the tunneled device sporadically drops into
+    # a ~15x slower regime when many unrelated executables are co-resident
+    # (runs/train_step_roofline.txt) -- measure the train pipeline before
+    # compiling the aux-measurement programs.
     # ---- timing ------------------------------------------------------------
     def bench(fn, iters: int, repeats: int = 3):
         """Min of `repeats` per-iter means — the tunneled device's timing is
@@ -144,26 +111,6 @@ def main():
             jax.block_until_ready(outs)
             best = min(best, (time.perf_counter() - t0) / iters)
         return best
-
-    log("compiling ours...")
-    t_ours = bench(lambda: fwd(params, x), 50)
-
-    # bf16-activation forward (same f32 params; memory-bound path option)
-    model_bf = DCCNReceiver(nbits=cfg.nbits, nfft=cfg.nfft,
-                            cp_len=plan.cp_len, nfilter=cfg.nfilter,
-                            frame_size=plan.frame_size, keep_cp=cfg.cp,
-                            compute_dtype="bfloat16")
-
-    @jax.jit
-    def fwd_bf(params, x):
-        logits, _ = model_bf.apply({"params": params}, x)
-        return logits
-
-    log("compiling bf16 forward...")
-    t_bf = bench(lambda: fwd_bf(params, x), 50)
-
-    log("compiling reference-style (on-device, same data)...")
-    t_ref = bench(lambda: ref_fwd(kernel4, dense_params, x), 20)
 
     # full end-to-end train step (data synthesis + fwd + bwd + update).
     # Throughput is reported at the best batch size: the pipeline is
@@ -209,6 +156,63 @@ def main():
         t_host = min(t_host, time.perf_counter() - t0)
     t_ref_pipeline = t_host + t_train  # copy time excluded (conservative)
     base_train_iq = tr.batch_frames * s * t / t_ref_pipeline
+
+    # ---- reference-style baseline -----------------------------------------
+    # fft_like as the reference's conv-over-depth trick: input transposed to
+    # [B*S, 1(w), 2(depth), K(chan)], conv with kernel (1,K wide,1) 'SAME'
+    # producing 2F channels, then the a-d / b-c recombination.
+    f = cfg.nfilter
+    wr = params["fft_like"]["wr"]
+    wi = params["fft_like"]["wi"]
+    conv_kernel = jnp.concatenate([wr, wi], axis=-1)  # [K, 2F]
+    kernel4 = jnp.zeros((1, t, t, 2 * f), jnp.float32)
+    kernel4 = kernel4.at[0, t // 2].set(conv_kernel)  # only center tap live
+    dense_params = {k: v for k, v in params.items() if k != "fft_like"}
+
+    def ref_style_fwd(kernel4, dense_params, x):
+        bb = x.shape[0]
+        h = jnp.transpose(x, (0, 1, 3, 2)).reshape(bb * s, 1, 2, t)
+        h = jnp.moveaxis(h, -1, 1)  # NHWC with H=1? emulate conv3d: [B*S, 1, 2, K]
+        h = h.reshape(bb * s, 1, 2, t)
+        out = jax.lax.conv_general_dilated(
+            h, kernel4, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))  # [B*S, 1, 2, 2F]
+        out = out.reshape(bb * s, 2, 2, f)
+        yr = out[:, 0, 0] - out[:, 1, 1]
+        yi = out[:, 0, 1] - out[:, 1, 0]
+        fft_out = jnp.stack([yr, yi], -1).reshape(bb, s, f, 2)
+        # same demodulation head
+        o = fft_out.reshape(bb, s * f * 2)
+        d = dense_params
+        o = o @ d["Dense_extract"]["kernel"] + d["Dense_extract"]["bias"]
+        o = o.reshape(bb, 1, plan.frame_size, 2)
+        h2 = o @ d["Dense_conv1x1"]["kernel"] + d["Dense_conv1x1"]["bias"]
+        h2 = leaky_relu(h2)
+        h2 = jnp.concatenate([h2, o], -1)
+        h2 = leaky_relu(h2 @ d["Dense_llr"]["kernel"] + d["Dense_llr"]["bias"])
+        return h2.reshape(bb, plan.frame_size, cfg.nbits, 2)
+
+    ref_fwd = jax.jit(ref_style_fwd)
+
+    log("compiling ours...")
+    t_ours = bench(lambda: fwd(params, x), 50)
+
+    # bf16-activation forward (same f32 params; memory-bound path option)
+    model_bf = DCCNReceiver(nbits=cfg.nbits, nfft=cfg.nfft,
+                            cp_len=plan.cp_len, nfilter=cfg.nfilter,
+                            frame_size=plan.frame_size, keep_cp=cfg.cp,
+                            compute_dtype="bfloat16")
+
+    @jax.jit
+    def fwd_bf(params, x):
+        logits, _ = model_bf.apply({"params": params}, x)
+        return logits
+
+    log("compiling bf16 forward...")
+    t_bf = bench(lambda: fwd_bf(params, x), 50)
+
+    log("compiling reference-style (on-device, same data)...")
+    t_ref = bench(lambda: ref_fwd(kernel4, dense_params, x), 20)
 
     ours_fwd = iq_per_batch / t_ours
     log(f"fwd: {t_ours*1e3:.3f} ms (ref-style fwd {t_ref*1e3:.3f} ms); "
