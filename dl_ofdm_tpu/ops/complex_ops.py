@@ -35,12 +35,16 @@ import jax
 import jax.numpy as jnp
 
 
-# Route exact-mode ComplexDense through the fused Pallas kernel
-# (ops/pallas_kernels.py).  Default is AUTO: on for TPU-family backends
-# (measured 1.6x forward / 1.3x train-step vs the XLA lowering on-chip,
-# scripts/pallas_toggle_bench.py), off elsewhere (interpret mode is for
-# tests, not speed).  Override globally with `set_use_pallas(True/False)`
-# (None restores auto) or per-layer with `use_pallas=`.
+# Optionally route exact-mode ComplexDense through the fused Pallas kernel
+# (ops/pallas_kernels.py).  Default is OFF everywhere: under honest d2h-fenced
+# timing (utils/timing.py — the axon backend's block_until_ready does not
+# actually fence, which inflated earlier "1.6x fwd" readings) the XLA lowering
+# is 3.5x FASTER forward (0.30 vs 1.06 ms @2340 frames) and ~25% faster per
+# train step than the hand kernel at the nfft=64 sizes: four [B,80]x[80,F]
+# GEMMs are too small for a custom kernel to beat XLA's fusion, and the
+# custom_vjp breaks backward fusion.  Override globally with
+# `set_use_pallas(True/False)` or per-layer with `use_pallas=` (A/B:
+# scripts/pallas_toggle_bench.py).
 _USE_PALLAS_DEFAULT = None
 
 
@@ -52,8 +56,7 @@ def set_use_pallas(enabled: bool | None) -> None:
 def _default_use_pallas() -> bool:
     if _USE_PALLAS_DEFAULT is not None:
         return _USE_PALLAS_DEFAULT
-    from dl_ofdm_tpu.ops.pallas_kernels import _on_tpu
-    return _on_tpu()
+    return False
 
 
 def _pallas_fits(k: int, f: int, tile_b: int = 512, itemsize: int = 4) -> bool:
