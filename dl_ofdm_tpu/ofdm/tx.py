@@ -12,6 +12,7 @@ frame-level scatter of data/pilot subcarriers (pilot value 3+3j), unscaled
 """
 from __future__ import annotations
 
+import numpy as np
 import jax.numpy as jnp
 
 from dl_ofdm_tpu.config import OFDMConfig
@@ -19,14 +20,57 @@ from dl_ofdm_tpu.ofdm.constellation import bits_to_symbols
 from dl_ofdm_tpu.ofdm.plan import SubcarrierPlan, build_plan
 from dl_ofdm_tpu.ops import cfloat
 
+# cache of fused TX operators keyed by the plan's identity (plans are built
+# once per config and reused; the operator is ~1.4 MB of trace-time constants)
+_FUSED_OP_CACHE: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
 
-def ofdm_modulate_frames_iq(bits: jnp.ndarray, plan: SubcarrierPlan) -> jnp.ndarray:
+
+def _fused_tx_operator(plan: SubcarrierPlan):
+    """Constant (Wr, Wi, bias_iq) folding placement + IDFT + CP into one GEMM.
+
+    W[j, s*sps + u] = idft_row(f_j)[(u - cp) mod nfft] for the symbol s_j that
+    data symbol j lands in (zero elsewhere); bias is the pilots' contribution
+    (pilot subcarriers are constants, so their IDFT is a fixed waveform).
+    The modulator then is  time = sym @ W + bias  — no scatter, no concat.
+    """
+    key = id(plan)
+    hit = _FUSED_OP_CACHE.get(key)
+    if hit is not None:
+        return hit
+    nfft, s_n, cp = plan.nfft, plan.nsymbol, plan.cp_len
+    sps = nfft + cp
+    t_idx = (np.arange(sps) - cp) % nfft
+    f = np.arange(nfft)
+    idft = np.exp(2j * np.pi * np.outer(f, t_idx) / nfft) / nfft  # [K, sps]
+    d = plan.frame_size
+    w = np.zeros((d, s_n * sps), np.complex64)
+    s_of = plan.data_sc // nfft
+    f_of = plan.data_sc % nfft
+    for j in range(d):
+        w[j, s_of[j] * sps:(s_of[j] + 1) * sps] = idft[f_of[j]]
+    bias = np.zeros(s_n * sps, np.complex64)
+    for p in plan.pilot_sc:
+        sp, fp = p // nfft, p % nfft
+        bias[sp * sps:(sp + 1) * sps] += plan.pilot_value * idft[fp]
+    out = (w.real.astype(np.float32), w.imag.astype(np.float32),
+           np.stack([bias.real, bias.imag], -1).astype(np.float32))
+    _FUSED_OP_CACHE[key] = out
+    return out
+
+
+def ofdm_modulate_frames_iq(bits: jnp.ndarray, plan: SubcarrierPlan,
+                            fused: bool = True) -> jnp.ndarray:
     """Real-pair OFDM modulator: [n_frame, frame_size, nbits] -> [B, S, K+CP, 2].
 
-    The TPU path: this backend has no complex dtype, so the IFFT is a real
-    IDFT matmul pair (see `ops.cfloat`) — at nfft=64 a [7B, 64] x [64, 64]
-    GEMM, which is also the faster formulation on the MXU.
-    Numerically equivalent to `ofdm_modulate_frames` (np.fft.ifft parity).
+    The TPU path (no complex dtype on this backend).  Default `fused=True`
+    collapses subcarrier placement, the IDFT and the CP prepend into ONE
+    constant GEMM (`_fused_tx_operator`): the reference formulation
+    (scatter into the grid -> ifft -> concat CP, `dev/py/ofdm.py:328-380`)
+    costs three extra HBM passes and a scatter, which dominated the on-device
+    TX under honest timing (1.75 -> ~0.3 ms at 9362 frames).  For BPSK the
+    constellation lookup is affine in the bit, so the whole TX is literally
+    bits @ W' + const.  `fused=False` keeps the grid/IDFT formulation
+    (numerically equivalent up to f32 GEMM rounding; used by tests as oracle).
     """
     from dl_ofdm_tpu.ops import cfloat
     from dl_ofdm_tpu.ofdm.constellation import const_table, indices_from_bits
@@ -39,7 +83,22 @@ def ofdm_modulate_frames_iq(bits: jnp.ndarray, plan: SubcarrierPlan) -> jnp.ndar
     table = const_table(nbits)
     table_iq = jnp.stack([jnp.real(table), jnp.imag(table)],
                          axis=-1).astype(jnp.float32)
-    sym_iq = table_iq[indices_from_bits(bits)]       # [B, frame, 2]
+    if nbits == 1:
+        # affine in the bit: no gather at all
+        b_f = bits[..., 0].astype(jnp.float32)
+        sym_iq = table_iq[0] + b_f[..., None] * (table_iq[1] - table_iq[0])
+    else:
+        sym_iq = table_iq[indices_from_bits(bits)]   # [B, frame, 2]
+
+    if fused:
+        wr, wi, bias = _fused_tx_operator(plan)
+        wr = jnp.asarray(wr)
+        wi = jnp.asarray(wi)
+        sr, si = sym_iq[..., 0], sym_iq[..., 1]
+        yr = sr @ wr - si @ wi + bias[:, 0]
+        yi = sr @ wi + si @ wr + bias[:, 1]
+        out = jnp.stack([yr, yi], axis=-1)
+        return out.reshape(n_frame, plan.nsymbol, plan.samples_per_symbol, 2)
 
     grid = jnp.zeros((n_frame, plan.nsymbol * plan.nfft, 2), jnp.float32)
     grid = grid.at[:, plan.data_sc, :].set(sym_iq)

@@ -104,6 +104,26 @@ def test_tx_iq_real_path_matches_complex_path(rng):
         np.testing.assert_allclose(got[..., 1], want.imag, atol=2e-5)
 
 
+def test_tx_fused_gemm_matches_grid_path(rng):
+    """The fused placement+IDFT+CP GEMM operator (default TPU hot path) must
+    equal the grid/scatter/ifft formulation on every modulation, pilot
+    scheme and CP length."""
+    from dl_ofdm_tpu.ofdm.tx import ofdm_modulate_frames_iq
+    for nbits in (1, 2, 3, 4):
+        for pilot in ("lte", "block", "comb", "scattered"):
+            for longcp in (True, False):
+                cfg = OFDMConfig(nbits=nbits, pilot=pilot, longcp=longcp)
+                plan = build_plan(cfg)
+                bits = rng.integers(0, 2, (4, plan.frame_size, nbits))
+                fused = np.asarray(
+                    ofdm_modulate_frames_iq(bits, plan, fused=True))
+                grid = np.asarray(
+                    ofdm_modulate_frames_iq(bits, plan, fused=False))
+                np.testing.assert_allclose(
+                    fused, grid, atol=3e-6,
+                    err_msg=f"nbits={nbits} pilot={pilot} longcp={longcp}")
+
+
 def test_v1_archive_config_8sym_scattered():
     """The v1 archive used 8 OFDM symbols/frame with scattered pilots
     (`test_v1/OFDM_Benchmark.m`, SURVEY M10); the plan must support it."""
