@@ -17,6 +17,13 @@ dominates the reference's wall clock.  Host->device copy time is NOT charged
 to the baseline (it would be tunnel-distorted here), so the reported speedup
 is conservative.  Forward-only receiver throughput is reported as an aux
 field.
+
+TIMING METHODOLOGY (utils/timing.py): on this tunneled 'axon' backend
+jax.block_until_ready does NOT fence device execution (a chained 8192^2 bf16
+matmul "measures" 55 PFLOP/s under it vs 92 TFLOP/s under a real fence), so
+every measurement here chains ITERS dispatches and fences ONCE through a
+device->host fetch of a value data-dependent on the result, subtracting the
+separately measured d2h round-trip (~23 ms).
 """
 
 
@@ -76,6 +83,7 @@ def main():
     from dl_ofdm_tpu.models.dccn import DCCNReceiver
     from dl_ofdm_tpu.ofdm.plan import build_plan
     from dl_ofdm_tpu.ops.norms import leaky_relu
+    from dl_ofdm_tpu.utils.timing import bench_steps, measure_fence_cost
 
     cfg = OFDMConfig(nbits=1)
     plan = build_plan(cfg)
@@ -95,28 +103,17 @@ def main():
         logits, _ = model.apply({"params": params}, x)
         return logits
 
+    fence_cost = measure_fence_cost()
+    log(f"d2h fence cost: {fence_cost*1e3:.2f} ms")
+
     # ---- headline metric FIRST: the tunneled device sporadically drops into
-    # a ~15x slower regime when many unrelated executables are co-resident
+    # a slower regime when many unrelated executables are co-resident
     # (runs/train_step_roofline.txt) -- measure the train pipeline before
     # compiling the aux-measurement programs.
-    # ---- timing ------------------------------------------------------------
-    def bench(fn, iters: int, repeats: int = 3):
-        """Min of `repeats` per-iter means — the tunneled device's timing is
-        noisy (shared host), and the minimum is the noise-free estimator."""
-        jax.block_until_ready(fn())  # warmup/compile
-        best = float("inf")
-        for _ in range(repeats):
-            t0 = time.perf_counter()
-            outs = [fn() for _ in range(iters)]
-            jax.block_until_ready(outs)
-            best = min(best, (time.perf_counter() - t0) / iters)
-        return best
-
     # full end-to-end train step (data synthesis + fwd + bwd + update).
-    # Throughput is reported at the best batch size: the pipeline is
-    # HBM-bound at nfft=64 (runs/train_step_roofline.txt), so larger batches
-    # amortize fixed per-step traffic — the production regime (the training
-    # loop's adaptive batch growth reaches these sizes within a few epochs).
+    # Throughput is reported at the best batch size: per-step time grows
+    # sublinearly with batch until ~9.4k frames (the training loop's adaptive
+    # batch growth reaches these sizes within a few epochs).
     log("compiling full train step...")
     from dl_ofdm_tpu.channel.profiles import get_profile
     from dl_ofdm_tpu.config import TrainConfig
@@ -124,17 +121,18 @@ def main():
     from dl_ofdm_tpu.train.loop import Trainer
 
     t_train, train_iq, tr = None, 0.0, None
-    for batch_size in (2048, 8192, 16384):
+    for batch_size in (16384, 65534):
         tr_c = Trainer(cfg, TrainConfig(batch_size=batch_size), channel="ETU")
         st = tr_c.init_state(key)
         snr = jnp.full((tr_c.batch_frames,), 5.0, jnp.float32)
+        state = {"s": st}
 
-        def step():
-            nonlocal st
-            st, _ = tr_c.train_step(st, key, snr)
-            return st.params
+        def step(i, state=state, tr_c=tr_c, snr=snr):
+            state["s"], _ = tr_c.train_step(
+                state["s"], jax.random.fold_in(key, i), snr)
+            return state["s"].params
 
-        t_c = bench(step, 20)
+        t_c = bench_steps(step, iters=30, fence_cost=fence_cost)
         iq_c = tr_c.batch_frames * s * t / t_c
         log(f"train batch={tr_c.batch_frames} frames: {t_c*1e3:.3f} ms/step, "
             f"{iq_c/1e9:.2f}G IQ/s")
@@ -195,7 +193,8 @@ def main():
     ref_fwd = jax.jit(ref_style_fwd)
 
     log("compiling ours...")
-    t_ours = bench(lambda: fwd(params, x), 50)
+    t_ours = bench_steps(lambda i: fwd(params, x), iters=40,
+                         fence_cost=fence_cost)
 
     # bf16-activation forward (same f32 params; memory-bound path option)
     model_bf = DCCNReceiver(nbits=cfg.nbits, nfft=cfg.nfft,
@@ -209,10 +208,12 @@ def main():
         return logits
 
     log("compiling bf16 forward...")
-    t_bf = bench(lambda: fwd_bf(params, x), 50)
+    t_bf = bench_steps(lambda i: fwd_bf(params, x), iters=40,
+                       fence_cost=fence_cost)
 
     log("compiling reference-style (on-device, same data)...")
-    t_ref = bench(lambda: ref_fwd(kernel4, dense_params, x), 20)
+    t_ref = bench_steps(lambda i: ref_fwd(kernel4, dense_params, x), iters=20,
+                        fence_cost=fence_cost)
 
     ours_fwd = iq_per_batch / t_ours
     log(f"fwd: {t_ours*1e3:.3f} ms (ref-style fwd {t_ref*1e3:.3f} ms); "
@@ -226,6 +227,8 @@ def main():
         "baseline": ("reference pipeline architecture on this machine: host-NumPy "
                      "data plane (LUT/ifft/np.convolve per frame) + identical "
                      "device step; host->device copy excluded (conservative)"),
+        "timing": ("d2h-fenced steady state (axon block_until_ready does not "
+                   "fence; see utils/timing.py)"),
         "train_batch_frames": tr.batch_frames,
         "train_ms_per_step": round(t_train * 1e3, 3),
         "host_synthesis_ms": round(t_host * 1e3, 1),

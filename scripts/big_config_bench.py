@@ -2,13 +2,14 @@
 
 The reference only ever runs nfft=64; the LTE table goes to nfft=2048
 (30.72 Msps / 100 RB), where the learned-DFT GEMMs become MXU-sized.
-Measures the full training pipeline at nfft in {64, 256, 1024, 2048}.
+Measures the full training pipeline at nfft in {64, 256, 1024, 2048} with
+honest d2h-fenced timing (utils/timing.py — the axon backend's
+block_until_ready does not fence).
 
 Run on the TPU: python scripts/big_config_bench.py
 """
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -17,31 +18,26 @@ import jax.numpy as jnp
 
 from dl_ofdm_tpu.config import OFDMConfig, TrainConfig
 from dl_ofdm_tpu.train.loop import Trainer
+from dl_ofdm_tpu.utils.timing import bench_steps, measure_fence_cost
 
 
 def main():
-    for nfft, frames in ((64, 1170), (256, 512), (1024, 128), (2048, 64)):
+    fence = measure_fence_cost()
+    print(f"d2h fence: {fence*1e3:.2f} ms", flush=True)
+    for nfft, frames in ((64, 9362), (256, 2048), (1024, 512), (2048, 256)):
         cfg = OFDMConfig(nbits=1, nfft=nfft, nfilter=nfft)
         tc = TrainConfig(batch_size=frames * 7)
         tr = Trainer(cfg, tc, channel="ETU")
         key = jax.random.PRNGKey(0)
-        state = tr.init_state(key)
+        state = {"s": tr.init_state(key)}
         snr = jnp.full((tr.batch_frames,), 5.0, jnp.float32)
-        state, _ = tr.train_step(state, key, snr)
-        # warm the tiny key-split program too: its first-use compile (~1s)
-        # otherwise lands inside the first timed window and dominates it
-        key, k = jax.random.split(key)
-        state, _ = tr.train_step(state, k, snr)
-        jax.block_until_ready(state.params)
-        iters = 20
-        dt = float("inf")   # min-of-3: the tunneled device's timing is noisy
-        for _ in range(3):
-            t0 = time.perf_counter()
-            for _ in range(iters):
-                key, k = jax.random.split(key)
-                state, _ = tr.train_step(state, k, snr)
-            jax.block_until_ready(state.params)
-            dt = min(dt, (time.perf_counter() - t0) / iters)
+
+        def step(i):
+            state["s"], _ = tr.train_step(
+                state["s"], jax.random.fold_in(key, i), snr)
+            return state["s"].params
+
+        dt = bench_steps(step, iters=20, fence_cost=fence)
         iq = tr.batch_frames * tr.plan.samples_per_frame
         print(f"nfft={nfft:5d} frames={tr.batch_frames:5d} "
               f"({tr.plan.samples_per_frame} IQ/frame): "

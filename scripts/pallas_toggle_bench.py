@@ -1,12 +1,16 @@
 """A/B the fused Pallas complex-dense kernel against XLA's lowering on the
-real chip, forward and train-step. Decides whether `set_use_pallas(True)`
-should be the TPU default (run only when the chip is free).
+real chip, forward and train-step (honest d2h-fenced timing — see
+utils/timing.py; the axon backend's block_until_ready does not fence).
 
-Usage: python scripts/pallas_toggle_bench.py
+Verdict baked into `complex_ops._default_use_pallas` (OFF): at nfft=64 the
+XLA lowering is ~3.5x faster forward and ~25% faster per train step — the
+four [B,80]x[80,F] GEMMs are too small for a hand kernel to beat XLA's
+fusion, and the custom_vjp breaks backward fusion.
+
+Usage: python scripts/pallas_toggle_bench.py  (chip must be free)
 """
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -18,14 +22,7 @@ from dl_ofdm_tpu.models.dccn import DCCNReceiver
 from dl_ofdm_tpu.ofdm.plan import build_plan
 from dl_ofdm_tpu.ops import complex_ops
 from dl_ofdm_tpu.train.loop import Trainer
-
-
-def timeit(fn, iters=50):
-    jax.block_until_ready(fn())
-    t0 = time.perf_counter()
-    outs = [fn() for _ in range(iters)]
-    jax.block_until_ready(outs)
-    return (time.perf_counter() - t0) / iters
+from dl_ofdm_tpu.utils.timing import bench_steps, measure_fence_cost
 
 
 def main():
@@ -35,6 +32,8 @@ def main():
     key = jax.random.PRNGKey(0)
     x = jax.random.normal(
         key, (b, plan.nsymbol, plan.samples_per_symbol, 2), jnp.float32)
+    fence = measure_fence_cost()
+    print(f"d2h fence: {fence*1e3:.2f} ms", flush=True)
 
     for use_pallas in (False, True):
         complex_ops.set_use_pallas(use_pallas)
@@ -47,22 +46,24 @@ def main():
         def fwd(params, x):
             return model.apply({"params": params}, x)[0]
 
-        t_fwd = timeit(lambda: fwd(params, x))
+        t_fwd = bench_steps(lambda i: fwd(params, x), iters=40,
+                            fence_cost=fence)
 
-        tr = Trainer(cfg, TrainConfig(batch_size=2048), channel="ETU")
+        tr = Trainer(cfg, TrainConfig(batch_size=16384), channel="ETU")
         st = tr.init_state(key)
         snr = jnp.full((tr.batch_frames,), 5.0, jnp.float32)
+        state = {"s": st}
 
-        def step():
-            nonlocal st
-            st, _ = tr.train_step(st, key, snr)
-            return st.step
+        def step(i):
+            state["s"], _ = tr.train_step(
+                state["s"], jax.random.fold_in(key, i), snr)
+            return state["s"].params
 
-        t_train = timeit(step, 20)
+        t_train = bench_steps(step, iters=30, fence_cost=fence)
         print(f"use_pallas={use_pallas}: fwd {t_fwd*1e3:.3f} ms/batch({b}), "
               f"train {t_train*1e3:.3f} ms/step({tr.batch_frames} frames)",
               flush=True)
-    complex_ops.set_use_pallas(None)  # restore auto default
+    complex_ops.set_use_pallas(None)  # restore default
 
 
 if __name__ == "__main__":
