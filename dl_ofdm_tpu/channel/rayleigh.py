@@ -130,29 +130,42 @@ class RayleighChannel:
 
         k_static, k_dop = jax.random.split(key)
 
-        # static gains: zck ~ CN(0,1) per frame/tap, broadcast over symbols
+        # static gains: zck ~ CN(0,1) per frame/tap.  Symbol-invariant, so the
+        # FIR kernel is computed ONCE per frame — the per-symbol [B, S, ...]
+        # kernel tensor exists only on the Doppler path (computing gt per
+        # symbol for static frames cost a 7x-redundant einsum + DFT).
         zck_static = jax.random.normal(
             k_static, (b, self.max_taps, 2), dtype=jnp.float32) / np.sqrt(2.0)
-        zck = jnp.broadcast_to(zck_static[:, None], (b, s, self.max_taps, 2))
 
-        if self.has_doppler and dop_mask.any():
+        doppler_on = self.has_doppler and dop_mask.any()
+
+        # AWGN-passthrough frames use a deterministic unit tap
+        unit = jnp.zeros((self.max_taps, 2), jnp.float32).at[0, 0].set(1.0)
+        zck_static = jnp.where(passthrough[:, None, None], unit, zck_static)
+
+        # per-frame FIR kernel: gt = (zck * coeff) @ alpha
+        gt_static = jnp.einsum(
+            "btc,btf->bfc", zck_static * coeff[..., None], alpha)
+
+        if doppler_on:
             fd = jnp.asarray(self._fd_np[prof_idx])
             t_sym = n_sc / self.sample_rate
             t = jnp.arange(s, dtype=jnp.float32) * t_sym
             zck_dop = jakes_gains_iq(k_dop, fd, t, self.max_taps)
+            zck_dop = jnp.where(passthrough[:, None, None, None], unit,
+                                zck_dop)
             zck = jnp.where(jnp.asarray(dop_mask)[:, None, None, None],
-                            zck_dop, zck)
-
-        # AWGN-passthrough frames use a deterministic unit tap
-        unit = jnp.zeros((self.max_taps, 2), jnp.float32).at[0, 0].set(1.0)
-        zck = jnp.where(passthrough[:, None, None, None], unit, zck)
-
-        # FIR kernel per frame/symbol: gt = (zck * coeff) @ alpha
-        a_taps = zck * coeff[:, None, :, None]
-        gt = jnp.einsum("bstc,btf->bsfc", a_taps, alpha)  # [B, S, max_fir, 2]
-
-        # ground-truth channel DFT per symbol (real matmul DFT)
-        h_freq = cfloat.dft_iq(gt, self.nfft)             # [B, S, nfft, 2]
+                            zck_dop,
+                            jnp.broadcast_to(zck_static[:, None],
+                                             (b, s, self.max_taps, 2)))
+            gt = jnp.einsum("bstc,btf->bsfc", zck * coeff[:, None, :, None],
+                            alpha)                       # [B, S, max_fir, 2]
+            h_freq = cfloat.dft_iq(gt, self.nfft)        # [B, S, nfft, 2]
+        else:
+            gt = jnp.broadcast_to(gt_static[:, None],
+                                  (b, s, self.max_fir, 2))
+            h_static = cfloat.dft_iq(gt_static, self.nfft)  # [B, nfft, 2]
+            h_freq = jnp.broadcast_to(h_static[:, None], (b, s, self.nfft, 2))
 
         # convolution.  With Doppler in the mix, only the masked frames need
         # the (heavier) per-symbol convolution; for mixRayleigh the mask is
@@ -164,7 +177,6 @@ class RayleighChannel:
         # ms per 512-frame step) — the partition's reshape/concat copies cost
         # more than the saved FLOPs; kept for odd future shapes.
         per = 3 if self.channel == "mixrayleigh" else None
-        doppler_on = self.has_doppler and dop_mask.any()
         if (doppler_on and per is not None and b % per == 0
                 and getattr(self, "_partition_doppler", False)
                 and bool(np.all(dop_mask[::per]))
@@ -185,7 +197,7 @@ class RayleighChannel:
 
         # general path: frame-level 'same' everywhere, per-symbol where masked
         flat = tx.reshape(b, s * n_sc, 2)
-        y = fir.fir_same_iq(flat, gt[:, 0], offsets).reshape(b, s, n_sc, 2)
+        y = fir.fir_same_iq(flat, gt_static, offsets).reshape(b, s, n_sc, 2)
 
         if doppler_on:
             y_dop = fir.fir_per_symbol_iq(tx, gt, self.max_taps, offsets)

@@ -58,19 +58,33 @@ def _fused_tx_operator(plan: SubcarrierPlan):
     return out
 
 
+def _fused_tx_profitable(plan: SubcarrierPlan) -> bool:
+    """The fused operator ignores W's block-diagonal structure, costing
+    frame_size*sps/nfft^2 ~ 6.6x the grid path's IDFT FLOPs, and bakes
+    2*frame_size*S*sps floats of constants into the executable (301 MB at
+    nfft=1024 — over the remote-compile request limit).  It wins only where
+    the grid path's scatter + extra HBM passes dominate, i.e. small grids;
+    measured crossover is comfortably above nfft=256 (21 MB operator,
+    still faster fused)."""
+    op_bytes = 2 * plan.frame_size * plan.nsymbol * plan.samples_per_symbol * 4
+    return op_bytes <= 32 * 2**20
+
+
 def ofdm_modulate_frames_iq(bits: jnp.ndarray, plan: SubcarrierPlan,
-                            fused: bool = True) -> jnp.ndarray:
+                            fused: bool | None = None) -> jnp.ndarray:
     """Real-pair OFDM modulator: [n_frame, frame_size, nbits] -> [B, S, K+CP, 2].
 
-    The TPU path (no complex dtype on this backend).  Default `fused=True`
-    collapses subcarrier placement, the IDFT and the CP prepend into ONE
-    constant GEMM (`_fused_tx_operator`): the reference formulation
-    (scatter into the grid -> ifft -> concat CP, `dev/py/ofdm.py:328-380`)
-    costs three extra HBM passes and a scatter, which dominated the on-device
-    TX under honest timing (1.75 -> ~0.3 ms at 9362 frames).  For BPSK the
-    constellation lookup is affine in the bit, so the whole TX is literally
-    bits @ W' + const.  `fused=False` keeps the grid/IDFT formulation
-    (numerically equivalent up to f32 GEMM rounding; used by tests as oracle).
+    The TPU path (no complex dtype on this backend).  `fused=None` (default)
+    picks per plan size: small grids collapse subcarrier placement, the IDFT
+    and the CP prepend into ONE constant GEMM (`_fused_tx_operator`) — the
+    reference formulation (scatter into the grid -> ifft -> concat CP,
+    `dev/py/ofdm.py:328-380`) costs three extra HBM passes and a scatter,
+    which dominated the on-device TX under honest timing (2.4 -> 0.9 ms at
+    9362 frames, nfft=64).  For BPSK the constellation lookup is affine in
+    the bit, so the whole TX is literally bits @ W' + const.  Large grids
+    keep the grid/IDFT formulation (`_fused_tx_profitable`).  `fused=False`
+    forces the grid path (numerically equivalent up to f32 GEMM rounding;
+    the tests' oracle).
     """
     from dl_ofdm_tpu.ops import cfloat
     from dl_ofdm_tpu.ofdm.constellation import const_table, indices_from_bits
@@ -90,6 +104,8 @@ def ofdm_modulate_frames_iq(bits: jnp.ndarray, plan: SubcarrierPlan,
     else:
         sym_iq = table_iq[indices_from_bits(bits)]   # [B, frame, 2]
 
+    if fused is None:
+        fused = _fused_tx_profitable(plan)
     if fused:
         wr, wi, bias = _fused_tx_operator(plan)
         wr = jnp.asarray(wr)

@@ -8,7 +8,6 @@ scaling efficiency (BASELINE.md target: >= 85%).
 """
 from __future__ import annotations
 
-import time
 from typing import Optional
 
 import jax
@@ -44,18 +43,19 @@ def scaling_efficiency(make_step, make_args, device_counts=(1, 2, 4, 8),
     constant per-device work across widths (weak scaling): make_args should
     scale the global batch with n.
     """
+    from dl_ofdm_tpu.utils.timing import bench_steps, measure_fence_cost
+
+    # d2h-fenced timing: on the tunneled axon backend block_until_ready does
+    # not fence device execution (utils/timing.py); the fence estimator is
+    # also correct on CPU/GPU meshes.
+    fence_cost = measure_fence_cost()
     results = {}
     for n in device_counts:
         if n > len(jax.devices()):
             break
         step, args = make_step(n), make_args(n)
-        out = step(*args)
-        jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = step(*args)
-        jax.block_until_ready(out)
-        dt = (time.perf_counter() - t0) / iters
+        dt = bench_steps(lambda i: step(*args), iters=iters,
+                         fence_cost=fence_cost)
         results[n] = 1.0 / dt
         base = results[min(results)]
         eff = results[n] / (base * n / min(results))
