@@ -124,6 +124,18 @@ def test_tx_fused_gemm_matches_grid_path(rng):
                     err_msg=f"nbits={nbits} pilot={pilot} longcp={longcp}")
 
 
+def test_tx_fused_gate_by_operator_size():
+    """Large grids must keep the grid/IDFT path: the fused operator bakes
+    2*frame_size*S*sps floats of constants (301 MB at nfft=1024 — over the
+    remote compiler's request limit) and wastes ~6.6x FLOPs on the operator's
+    block-diagonal zeros."""
+    from dl_ofdm_tpu.ofdm.tx import _fused_tx_profitable
+    assert _fused_tx_profitable(build_plan(OFDMConfig(nbits=1, nfft=64)))
+    assert _fused_tx_profitable(build_plan(OFDMConfig(nbits=1, nfft=256)))
+    assert not _fused_tx_profitable(build_plan(OFDMConfig(nbits=1, nfft=1024)))
+    assert not _fused_tx_profitable(build_plan(OFDMConfig(nbits=1, nfft=2048)))
+
+
 def test_v1_archive_config_8sym_scattered():
     """The v1 archive used 8 OFDM symbols/frame with scattered pilots
     (`test_v1/OFDM_Benchmark.m`, SURVEY M10); the plan must support it."""
