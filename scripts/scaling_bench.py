@@ -9,7 +9,6 @@ Run: XLA_FLAGS=--xla_force_host_platform_device_count=8 \
 """
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -59,13 +58,17 @@ def bench_width(n_dev: int, frames_per_dev: int = 64, iters: int = 10):
                           opt_state, state.step + 1), loss
 
     fn = jax.jit(step)
-    out = fn(state, bits, rx_in)
-    jax.block_until_ready(out[0].params)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state, loss = fn(state, bits, rx_in)
-    jax.block_until_ready(state.params)
-    dt = (time.perf_counter() - t0) / iters
+
+    # d2h-fenced estimator (utils/timing.py): correct on CPU meshes and on
+    # the tunneled axon backend, whose block_until_ready does not fence.
+    from dl_ofdm_tpu.utils.timing import bench_steps
+    box = {"s": state}
+
+    def timed(i):
+        box["s"], _ = fn(box["s"], bits, rx_in)
+        return box["s"].params
+
+    dt = bench_steps(timed, iters=iters)
     return n_frames * 560 / dt, dt
 
 
