@@ -85,18 +85,23 @@ def ber_sweep(trainer, params, key: jax.Array,
         bits, rx_in, _, _, _ = trainer.synthesize(
             key, snr_vec.shape[0], snr_vec, norm_groups=onehot)
         logits, *_ = trainer.model.apply({"params": params}, rx_in)
-        pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        from dl_ofdm_tpu.train import metrics as M
+        pred = M.bit_predictions(logits)
         err_per_frame = jnp.sum((pred != bits).astype(jnp.int32),
                                 axis=(1, 2))
-        errors = jax.ops.segment_sum(err_per_frame, point_idx,
-                                     num_segments=n_pts)
+        # per-point reductions via the (already materialized) one-hot mask —
+        # segment_sum lowers to a serialized scatter-add on TPU (same issue
+        # as the bincount confusion matrix); a masked sum is one fused pass.
+        # int32 accumulation keeps error counts exact at any sweep size.
+        errors = jnp.sum(err_per_frame[:, None] * onehot.astype(jnp.int32),
+                         axis=0)
         # per-point summed CE
         z = logits.reshape(logits.shape[0], -1, 2)
         logp = jax.nn.log_softmax(z, axis=-1)
         y1h = jax.nn.one_hot(bits.reshape(bits.shape[0], -1), 2,
                              dtype=logp.dtype)
         ce_frame = -jnp.mean(jnp.sum(y1h * logp, axis=-1), axis=1)
-        ce = jax.ops.segment_sum(ce_frame, point_idx, num_segments=n_pts)
+        ce = ce_frame @ onehot
         return errors, ce
 
     if mesh is None:

@@ -67,4 +67,7 @@ def l2_regularization(params, scale: float = 0.01,
 
 
 def bit_predictions(logits: jnp.ndarray) -> jnp.ndarray:
-    return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    """argmax over the 2-class axis as a compare (same tie behavior: argmax
+    returns index 0 on ties, as does a strict >); avoids the iota+reduce
+    argmax lowering on the hot path."""
+    return (logits[..., 1] > logits[..., 0]).astype(jnp.int32)
