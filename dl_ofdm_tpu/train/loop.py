@@ -106,9 +106,14 @@ class Trainer:
         `norm_groups` [B, G] one-hot: per-group batch-norm statistics (used by
         the interleaved-SNR sweep for per-SNR-point protocol parity)."""
         kb, kc, kn = jax.random.split(key, 3)
-        bits = jax.random.bernoulli(
-            kb, 0.5, (n_frames, self.plan.frame_size, self.cfg.nbits)
-        ).astype(jnp.int32)
+        # fair coin via the low bit of uint8 draws: 4x fewer generator bits
+        # than bernoulli's f32-uniform compare (reference `util.py:25-34`
+        # semantics — iid uniform bits — are unchanged)
+        bits = jnp.bitwise_and(
+            jax.random.bits(
+                kb, (n_frames, self.plan.frame_size, self.cfg.nbits),
+                jnp.uint8),
+            jnp.uint8(1)).astype(jnp.int32)
         wf = self.tx(bits)                       # [B, S, K+CP, 2]
         ch = self.channel(kc, wf)
         y_iq, noise_pwr = awgn_channel(kn, ch.y, snr_db)
