@@ -13,6 +13,7 @@ frame-level scatter of data/pilot subcarriers (pilot value 3+3j), unscaled
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from dl_ofdm_tpu.config import OFDMConfig
@@ -23,6 +24,7 @@ from dl_ofdm_tpu.ops import cfloat
 # cache of fused TX operators keyed by the plan's identity (plans are built
 # once per config and reused; the operator is ~1.4 MB of trace-time constants)
 _FUSED_OP_CACHE: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+_SYMBOL_OP_CACHE: dict[int, tuple] = {}
 
 
 def _fused_tx_operator(plan: SubcarrierPlan):
@@ -58,33 +60,91 @@ def _fused_tx_operator(plan: SubcarrierPlan):
     return out
 
 
-def _fused_tx_profitable(plan: SubcarrierPlan) -> bool:
-    """The fused operator ignores W's block-diagonal structure, costing
-    frame_size*sps/nfft^2 ~ 6.6x the grid path's IDFT FLOPs, and bakes
-    2*frame_size*S*sps floats of constants into the executable (301 MB at
-    nfft=1024 — over the remote-compile request limit).  It wins only where
-    the grid path's scatter + extra HBM passes dominate, i.e. small grids;
-    measured crossover is comfortably above nfft=256 (21 MB operator,
-    still faster fused)."""
-    op_bytes = 2 * plan.frame_size * plan.nsymbol * plan.samples_per_symbol * 4
-    return op_bytes <= 32 * 2**20
+def _symbol_tx_operator(plan: SubcarrierPlan):
+    """Per-symbol fused TX: exploit that `_fused_tx_operator`'s W is block
+    diagonal (data symbol j only touches the OFDM symbol it lands in).
+
+    Returns (counts [S], Wr [S, Dmax, sps], Wi, bias_iq [S, sps, 2]) where
+    W[s, d] = idft_row(f of the d-th data SC of symbol s)[(u - cp) mod nfft]
+    (zero rows beyond counts[s]).  The modulator packs the frame's symbols
+    into [B, S, Dmax] (static slices + pad; data_sc is symbol-major sorted)
+    and runs one batched GEMM — frame_size*sps vs frame_size*S*sps MACs,
+    S-fold fewer FLOPs than the dense fused operator and no scatter like the
+    grid path (`dev/py/ofdm.py:328-380`)."""
+    key = id(plan)
+    hit = _SYMBOL_OP_CACHE.get(key)
+    if hit is not None:
+        return hit
+    nfft, s_n, cp = plan.nfft, plan.nsymbol, plan.cp_len
+    sps = nfft + cp
+    t_idx = (np.arange(sps) - cp) % nfft
+    f = np.arange(nfft)
+    idft = np.exp(2j * np.pi * np.outer(f, t_idx) / nfft) / nfft  # [K, sps]
+    s_of = plan.data_sc // nfft
+    f_of = plan.data_sc % nfft
+    assert np.all(np.diff(s_of) >= 0), \
+        "data_sc must be symbol-major sorted for the per-symbol TX operator"
+    counts = np.bincount(s_of, minlength=s_n)
+    dmax = int(counts.max())
+    w = np.zeros((s_n, dmax, sps), np.complex64)
+    d_in_sym = np.concatenate([np.arange(c) for c in counts])
+    for j in range(plan.frame_size):
+        w[s_of[j], d_in_sym[j]] = idft[f_of[j]]
+    bias = np.zeros((s_n, sps), np.complex64)
+    for p in plan.pilot_sc:
+        sp, fp = p // nfft, p % nfft
+        bias[sp] += plan.pilot_value * idft[fp]
+    out = (tuple(int(c) for c in counts),
+           w.real.astype(np.float32), w.imag.astype(np.float32),
+           np.stack([bias.real, bias.imag], -1).astype(np.float32))
+    _SYMBOL_OP_CACHE[key] = out
+    return out
+
+
+def _pack_per_symbol(sym_iq: jnp.ndarray, counts: tuple[int, ...]):
+    """[B, frame_size, 2] -> [B, S, Dmax, 2] via static slices + zero pad
+    (data_sc is symbol-major sorted, so per-symbol runs are contiguous)."""
+    dmax = max(counts)
+    segs, start = [], 0
+    for c in counts:
+        seg = jax.lax.slice_in_dim(sym_iq, start, start + c, axis=1)
+        if c < dmax:
+            seg = jnp.pad(seg, ((0, 0), (0, dmax - c), (0, 0)))
+        segs.append(seg)
+        start += c
+    return jnp.stack(segs, axis=1)
+
+
+def _fused_tx_profitable(plan: SubcarrierPlan) -> bool | str:
+    """Pick the TX formulation by the per-symbol operator's constant size
+    (2*S*Dmax*sps floats; ~0.2 MB at nfft=64, ~60 MB at nfft=1024).  The
+    block-diagonal "symbol" form costs ~Dmax*sps MACs per frame — about
+    (Dmax/nfft)*(sps/nfft) ~ 1x the grid path's IDFT FLOPs — and removes the
+    grid path's scatter + extra HBM passes, so it wins wherever its baked
+    constants stay within the remote-compile request budget; very large
+    grids keep the grid/IDFT formulation."""
+    counts, wr, _, _ = _symbol_tx_operator(plan)
+    return "symbol" if 2 * wr.nbytes <= 32 * 2**20 else False
 
 
 def ofdm_modulate_frames_iq(bits: jnp.ndarray, plan: SubcarrierPlan,
-                            fused: bool | None = None) -> jnp.ndarray:
+                            fused: bool | str | None = None) -> jnp.ndarray:
     """Real-pair OFDM modulator: [n_frame, frame_size, nbits] -> [B, S, K+CP, 2].
 
     The TPU path (no complex dtype on this backend).  `fused=None` (default)
     picks per plan size: small grids collapse subcarrier placement, the IDFT
-    and the CP prepend into ONE constant GEMM (`_fused_tx_operator`) — the
-    reference formulation (scatter into the grid -> ifft -> concat CP,
-    `dev/py/ofdm.py:328-380`) costs three extra HBM passes and a scatter,
-    which dominated the on-device TX under honest timing (2.4 -> 0.9 ms at
-    9362 frames, nfft=64).  For BPSK the constellation lookup is affine in
-    the bit, so the whole TX is literally bits @ W' + const.  Large grids
-    keep the grid/IDFT formulation (`_fused_tx_profitable`).  `fused=False`
-    forces the grid path (numerically equivalent up to f32 GEMM rounding;
-    the tests' oracle).
+    and the CP prepend into one constant GEMM per OFDM symbol
+    (`_symbol_tx_operator`) — the reference formulation (scatter into the
+    grid -> ifft -> concat CP, `dev/py/ofdm.py:328-380`) costs three extra
+    HBM passes and a scatter, which dominated the on-device TX under honest
+    timing (2.4 -> 0.9 ms at 9362 frames, nfft=64).  For BPSK the
+    constellation lookup is affine in the bit, so the whole TX is literally
+    bits @ W' + const.  Large grids keep the grid/IDFT formulation
+    (`_fused_tx_profitable`).  `fused=False` forces the grid path
+    (numerically equivalent up to f32 GEMM rounding; the tests' oracle);
+    `fused="dense"` forces the whole-frame [frame_size, S*sps] operator
+    (superseded by the S-fold-cheaper block-diagonal "symbol" form);
+    `fused="symbol"` / `fused=True` force the per-symbol operator.
     """
     from dl_ofdm_tpu.ops import cfloat
     from dl_ofdm_tpu.ofdm.constellation import const_table, indices_from_bits
@@ -106,7 +166,7 @@ def ofdm_modulate_frames_iq(bits: jnp.ndarray, plan: SubcarrierPlan,
 
     if fused is None:
         fused = _fused_tx_profitable(plan)
-    if fused:
+    if fused == "dense":
         wr, wi, bias = _fused_tx_operator(plan)
         wr = jnp.asarray(wr)
         wi = jnp.asarray(wi)
@@ -115,6 +175,17 @@ def ofdm_modulate_frames_iq(bits: jnp.ndarray, plan: SubcarrierPlan,
         yi = sr @ wi + si @ wr + bias[:, 1]
         out = jnp.stack([yr, yi], axis=-1)
         return out.reshape(n_frame, plan.nsymbol, plan.samples_per_symbol, 2)
+    if fused:
+        counts, wr, wi, bias = _symbol_tx_operator(plan)
+        wr = jnp.asarray(wr)                            # [S, Dmax, sps]
+        wi = jnp.asarray(wi)
+        sp = _pack_per_symbol(sym_iq, counts)           # [B, S, Dmax, 2]
+        sr, si = sp[..., 0], sp[..., 1]
+        yr = (jnp.einsum("bsd,sdt->bst", sr, wr)
+              - jnp.einsum("bsd,sdt->bst", si, wi) + bias[None, :, :, 0])
+        yi = (jnp.einsum("bsd,sdt->bst", sr, wi)
+              + jnp.einsum("bsd,sdt->bst", si, wr) + bias[None, :, :, 1])
+        return jnp.stack([yr, yi], axis=-1)
 
     grid = jnp.zeros((n_frame, plan.nsymbol * plan.nfft, 2), jnp.float32)
     grid = grid.at[:, plan.data_sc, :].set(sym_iq)

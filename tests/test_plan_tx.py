@@ -115,13 +115,15 @@ def test_tx_fused_gemm_matches_grid_path(rng):
                 cfg = OFDMConfig(nbits=nbits, pilot=pilot, longcp=longcp)
                 plan = build_plan(cfg)
                 bits = rng.integers(0, 2, (4, plan.frame_size, nbits))
-                fused = np.asarray(
-                    ofdm_modulate_frames_iq(bits, plan, fused=True))
                 grid = np.asarray(
                     ofdm_modulate_frames_iq(bits, plan, fused=False))
-                np.testing.assert_allclose(
-                    fused, grid, atol=3e-6,
-                    err_msg=f"nbits={nbits} pilot={pilot} longcp={longcp}")
+                for form in ("symbol", "dense"):
+                    fused = np.asarray(
+                        ofdm_modulate_frames_iq(bits, plan, fused=form))
+                    np.testing.assert_allclose(
+                        fused, grid, atol=3e-6,
+                        err_msg=f"{form} nbits={nbits} pilot={pilot} "
+                                f"longcp={longcp}")
 
 
 def test_tx_fused_gate_by_operator_size():
