@@ -1,0 +1,470 @@
+"""Fused Pallas synthesize megakernel: bits -> OFDM TX -> FIR fading -> AWGN
+-> batch-norm, one VMEM-resident pass (plus one normalize pass).
+
+Why: the train step's data plane (reference semantics: `dev/py/util.py:25-34`
+bits, `dev/py/ofdm.py:328-380` TX, `dev/py/radio.py:424-506` fading,
+`dev/py/radio.py:513-526` AWGN, `dev/py/ofdmreceiver_np.py:128-129` input
+batch-norm) costs ~2.3 ms of the 3.8 ms step at 9362 frames when expressed as
+separate XLA ops (scripts/step_breakdown_bench.py) — dominated by generator
+and elementwise HBM passes, not FLOPs.  Here the whole chain runs in VMEM with
+the TPU's hardware PRNG (`pltpu.prng_random_bits`), touching HBM only for the
+final outputs.
+
+Structure (the batch statistics force a second pass; it stays in XLA):
+  * Kernel (grid over frame blocks): draw symbol indices (hardware RNG),
+    per-symbol constant GEMMs (placement+IDFT+CP = `ofdm.tx._symbol_tx_operator`
+    semantics), draw Rayleigh taps (Box-Muller), synthesize the FIR kernel
+    (gains x fractional-delay alpha matrix) and convolve 'same' in VMEM,
+    draw the AWGN, and write: the faded signal y, the noise n, the symbol
+    indices, and 10 per-position partial sums (y, y^2, n, n^2, y*n for each
+    IQ plane) — everything the normalization needs.
+  * XLA combines the partials into the exact batch moments of
+    a*y + n (a = 1/sqrt(mean |y|^2), the AWGN normalizer) and applies
+    rx = ((a*y + n) - mean) * rsqrt(var + eps) / sqrt(2) — exactly
+    `ops.norms.batch_norm_ref` on the noisy signal — as ONE fused
+    elementwise epilogue (cheaper than a second Pallas pass re-deriving the
+    noise: measured 0.21 ms of HBM vs ~0.4 ms of regenerated Box-Muller).
+
+Exactness: identical math to the jnp path except (a) the PRNG streams (TPU
+hardware PRNG + Box-Muller instead of threefry + inverse-CDF: same
+distributions, different draws — training sees statistically identical data)
+and (b) the noise is synthesized in f32 rather than the jnp path's
+bf16-quantized draws.  `emulate_fused_synthesize` runs the same math with
+jax.random bits for CPU validation (the Mosaic PRNG returns zeros under the
+Pallas interpreter, so the kernel itself is validated on hardware —
+scripts/fused_synth_check.py).
+
+Eligibility: single static channel profile (or AWGN passthrough), no Doppler,
+no mix, no per-group norm — i.e. the basic `Trainer.train_step` data plane.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+try:  # TPU-only module; absent on some CPU-only installs
+    from jax.experimental.pallas import tpu as pltpu
+    _HAS_PLTPU = True
+except Exception:  # pragma: no cover
+    pltpu = None
+    _HAS_PLTPU = False
+
+from dl_ofdm_tpu.ofdm.plan import SubcarrierPlan
+
+_SQRT_HALF = float(np.sqrt(0.5))
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return False
+
+
+# ---------------------------------------------------------------------------
+# static spec
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True, eq=False)  # eq=False: hash by identity
+class SynthSpec:                               # (jit static arg; ndarray fields)
+    """Trace-time constants for the fused synthesize chain."""
+    nbits: int
+    nsymbol: int
+    sps: int                 # samples per symbol (nfft + cp)
+    frame_size: int
+    counts: tuple            # data subcarriers per OFDM symbol
+    w_r: np.ndarray          # [frame_size, sps] per-data-SC IDFT rows
+    w_i: np.ndarray
+    bias_r: np.ndarray       # [nsymbol, sps] pilots' fixed waveform
+    bias_i: np.ndarray
+    table_r: tuple           # constellation (len 2^nbits)
+    table_i: tuple
+    do_fir: bool
+    n_taps: int
+    n_fir: int
+    same_offset: int
+    coeff: np.ndarray        # [n_taps]
+    alpha: np.ndarray        # [n_taps, n_fir]
+
+    @property
+    def length(self) -> int:
+        return self.nsymbol * self.sps
+
+
+def build_synth_spec(plan: SubcarrierPlan, profile=None,
+                     nbits: int = 1) -> SynthSpec:
+    """profile: a `channel.profiles.TapProfile`, or None for AWGN passthrough."""
+    from dl_ofdm_tpu.ofdm.constellation import _table_np
+    from dl_ofdm_tpu.ofdm.tx import _symbol_tx_operator
+
+    counts, w_sym_r, w_sym_i, bias = _symbol_tx_operator(plan)
+    # flatten [S, Dmax, sps] -> row-per-data-symbol [frame_size, sps]
+    rows_r, rows_i = [], []
+    for s, c in enumerate(counts):
+        rows_r.append(w_sym_r[s, :c])
+        rows_i.append(w_sym_i[s, :c])
+    w_r = np.concatenate(rows_r, axis=0).astype(np.float32)
+    w_i = np.concatenate(rows_i, axis=0).astype(np.float32)
+    table = _table_np(nbits)  # host-side: no complex dtype on this backend
+    if profile is None:
+        do_fir, n_taps, n_fir, off = False, 1, 1, 0
+        coeff = np.ones((1,), np.float32)
+        alpha = np.ones((1, 1), np.float32)
+    else:
+        do_fir = True
+        n_taps, n_fir, off = profile.n_taps, profile.n_fir, profile.same_offset
+        coeff = profile.ch_coeff.astype(np.float32)
+        alpha = profile.alpha_matrix.astype(np.float32)
+    return SynthSpec(
+        nbits=nbits, nsymbol=plan.nsymbol, sps=plan.samples_per_symbol,
+        frame_size=plan.frame_size, counts=tuple(int(c) for c in counts),
+        w_r=w_r, w_i=w_i,
+        bias_r=bias[..., 0].astype(np.float32),
+        bias_i=bias[..., 1].astype(np.float32),
+        table_r=tuple(float(v) for v in table.real),
+        table_i=tuple(float(v) for v in table.imag),
+        do_fir=do_fir, n_taps=n_taps, n_fir=n_fir, same_offset=off,
+        coeff=coeff, alpha=alpha)
+
+
+# ---------------------------------------------------------------------------
+# shared math (kernel and jnp emulator run the same functions)
+# ---------------------------------------------------------------------------
+
+
+def _u01(bits_i32) -> jnp.ndarray:
+    """int32 random bits -> uniform (0, 1) float32 (24-bit mantissa, never 0).
+
+    Logical shift keeps the top 24 bits (always fits int32, so the int->f32
+    cast is exact); Mosaic has no uint32->f32 cast, hence the i32 plumbing."""
+    hi24 = jax.lax.shift_right_logical(bits_i32, 8)
+    return hi24.astype(jnp.float32) * (2.0 ** -24) + 2.0 ** -25
+
+
+def _stream_seed(seed_ref, stream):
+    """Fold the per-block stream id into the second seed word (this backend's
+    `tpu.prng_set_seed_32` takes at most two words).  Weyl-constant multiply
+    keeps distinct streams far apart in seed space; int32 wrap is fine."""
+    return seed_ref[1] ^ (stream * jnp.int32(-1640531527))  # 0x9E3779B9
+
+
+def _box_muller(u1, u2):
+    """Two independent N(0,1) planes from two uniform planes."""
+    r = jnp.sqrt(-2.0 * jnp.log(u1))
+    ang = (2.0 * np.pi) * u2
+    return r * jnp.cos(ang), r * jnp.sin(ang)
+
+
+def _symbols_from_idx(idx_f, spec: SynthSpec):
+    """Constellation lookup without a gather: [blk, frame] f32 index ->
+    (sym_r, sym_i).  BPSK is affine in the bit; higher orders accumulate
+    2^nbits masked selects (VPU compares, no memory op)."""
+    if spec.nbits == 1:
+        t0r, t1r = spec.table_r
+        t0i, t1i = spec.table_i
+        return (t0r + idx_f * (t1r - t0r), t0i + idx_f * (t1i - t0i))
+    sym_r = jnp.zeros_like(idx_f)
+    sym_i = jnp.zeros_like(idx_f)
+    for c in range(2 ** spec.nbits):
+        hit = (idx_f == float(c))
+        sym_r = jnp.where(hit, spec.table_r[c], sym_r)
+        sym_i = jnp.where(hit, spec.table_i[c], sym_i)
+    return sym_r, sym_i
+
+
+def _tx_waveform(sym_r, sym_i, w_r, w_i, bias_r, bias_i, spec: SynthSpec):
+    """Per-symbol constant GEMMs: [blk, frame_size] -> [blk, L] planes."""
+    outs_r, outs_i = [], []
+    start = 0
+    for s, c in enumerate(spec.counts):
+        sr = jax.lax.slice_in_dim(sym_r, start, start + c, axis=1)
+        si = jax.lax.slice_in_dim(sym_i, start, start + c, axis=1)
+        wr = jax.lax.slice_in_dim(w_r, start, start + c, axis=0)
+        wi = jax.lax.slice_in_dim(w_i, start, start + c, axis=0)
+        a = jnp.dot(sr, wr, preferred_element_type=jnp.float32)
+        b = jnp.dot(si, wi, preferred_element_type=jnp.float32)
+        cdot = jnp.dot(sr, wi, preferred_element_type=jnp.float32)
+        d = jnp.dot(si, wr, preferred_element_type=jnp.float32)
+        outs_r.append(a - b + bias_r[s])
+        outs_i.append(cdot + d + bias_i[s])
+        start += c
+    return jnp.concatenate(outs_r, axis=1), jnp.concatenate(outs_i, axis=1)
+
+
+def _fir_same(x_r, x_i, gt_r, gt_i, spec: SynthSpec):
+    """np.convolve(x, gt, 'same') per row: static shift-and-accumulate.
+
+    x planes [blk, L]; gt planes [blk, n_fir].  out[t] = sum_k x[t+off-k]*g[k]
+    with off = (n_fir-1)//2 (`dev/py/radio.py:436` alignment)."""
+    if not spec.do_fir:
+        return x_r, x_i
+    l = x_r.shape[1]
+    p = spec.n_fir - 1
+    xp_r = jnp.pad(x_r, ((0, 0), (p, p)))
+    xp_i = jnp.pad(x_i, ((0, 0), (p, p)))
+    out_r = jnp.zeros_like(x_r)
+    out_i = jnp.zeros_like(x_i)
+    for k in range(spec.n_fir):
+        s = spec.same_offset - k + p
+        sr = jax.lax.slice_in_dim(xp_r, s, s + l, axis=1)
+        si = jax.lax.slice_in_dim(xp_i, s, s + l, axis=1)
+        hr = gt_r[:, k:k + 1]
+        hi = gt_i[:, k:k + 1]
+        out_r = out_r + sr * hr - si * hi
+        out_i = out_i + sr * hi + si * hr
+    return out_r, out_i
+
+
+def _tap_kernel(zr, zi, coeff, alpha):
+    """gt = (zck * ch_coeff) @ alpha (coeff/alpha real: plane-separable)."""
+    gr = jnp.dot(zr * coeff, alpha, preferred_element_type=jnp.float32)
+    gi = jnp.dot(zi * coeff, alpha, preferred_element_type=jnp.float32)
+    return gr, gi
+
+
+# ---------------------------------------------------------------------------
+# pass 1 kernel
+# ---------------------------------------------------------------------------
+
+
+def _p1_kernel(spec: SynthSpec, blk: int, n_frames: int,
+               seed_ref, std_ref, wr_ref, wi_ref, br_ref, bi_ref,
+               coeff_ref, alpha_ref,
+               idx_ref, yr_ref, yi_ref, nr_ref, ni_ref, stats_ref):
+    bid = pl.program_id(0)
+    l = spec.length
+
+    # --- bits + taps stream -------------------------------------------------
+    pltpu.prng_seed(seed_ref[0], _stream_seed(seed_ref, 2 * bid))
+    rb = pltpu.bitcast(pltpu.prng_random_bits((blk, spec.frame_size)),
+                       jnp.int32)
+    idx = rb & jnp.int32(2 ** spec.nbits - 1)
+    idx_ref[:] = idx
+    idx_f = idx.astype(jnp.float32)
+    sym_r, sym_i = _symbols_from_idx(idx_f, spec)
+    x_r, x_i = _tx_waveform(sym_r, sym_i, wr_ref[:], wi_ref[:],
+                            br_ref[:], bi_ref[:], spec)
+    if spec.do_fir:
+        u1 = _u01(pltpu.bitcast(
+            pltpu.prng_random_bits((blk, spec.n_taps)), jnp.int32))
+        u2 = _u01(pltpu.bitcast(
+            pltpu.prng_random_bits((blk, spec.n_taps)), jnp.int32))
+        g0, g1 = _box_muller(u1, u2)
+        zr, zi = g0 * _SQRT_HALF, g1 * _SQRT_HALF   # CN(0,1) components
+        gt_r, gt_i = _tap_kernel(zr, zi, coeff_ref[:], alpha_ref[:])
+        y_r, y_i = _fir_same(x_r, x_i, gt_r, gt_i, spec)
+    else:
+        y_r, y_i = x_r, x_i
+    yr_ref[:] = y_r
+    yi_ref[:] = y_i
+
+    # --- noise stream --------------------------------------------------------
+    pltpu.prng_seed(seed_ref[0], _stream_seed(seed_ref, 2 * bid + 1))
+    nu1 = _u01(pltpu.bitcast(pltpu.prng_random_bits((blk, l)), jnp.int32))
+    nu2 = _u01(pltpu.bitcast(pltpu.prng_random_bits((blk, l)), jnp.int32))
+    un_r, un_i = _box_muller(nu1, nu2)
+    std = std_ref[:]                                 # [blk, 1]
+    n_r = std * un_r
+    n_i = std * un_i
+    nr_ref[:] = n_r
+    ni_ref[:] = n_i
+
+    # --- masked per-position partial sums -----------------------------------
+    row = jax.lax.broadcasted_iota(jnp.int32, (blk, 1), 0)
+    mask = ((bid * blk + row) < n_frames).astype(jnp.float32)
+    yr_m = y_r * mask
+    yi_m = y_i * mask
+    nr_m = n_r * mask
+    ni_m = n_i * mask
+
+    def put(k, v):  # per-row 2-D stores, products built inline so each
+        stats_ref[0, k:k + 1, :] = jnp.sum(v, axis=0, keepdims=True)
+
+    put(0, yr_m)                 # (Mosaic can't lower a 10-way concat, and
+    put(1, yi_m)                 # a tuple of all products would keep ~10
+    put(2, yr_m * y_r)           # extra [blk, L] planes live at once —
+    put(3, yi_m * y_i)           # VMEM stack pressure)
+    put(4, nr_m)
+    put(5, ni_m)
+    put(6, nr_m * n_r)
+    put(7, ni_m * n_i)
+    put(8, yr_m * n_r)
+    put(9, yi_m * n_i)
+
+
+# ---------------------------------------------------------------------------
+# host-side driver (jit-traceable)
+# ---------------------------------------------------------------------------
+
+
+def _combine_stats(sums, n_frames, eps=1e-9):
+    """[10, L] partial sums -> (a, c [6, L], noise_power, sig_pwr)."""
+    syr, syi, syyr, syyi, snr_, sni, snnr, snni, synr, syni = [
+        sums[i] for i in range(10)]
+    count = n_frames * sums.shape[-1]
+    sig_pwr = (jnp.sum(syyr) + jnp.sum(syyi)) / count
+    a = jax.lax.rsqrt(sig_pwr)
+    noise_power = (jnp.sum(snnr) + jnp.sum(snni)) / count
+
+    def plane(sy, syy, sn, snn, syn):
+        m = (a * sy + sn) / n_frames
+        ex2 = (a * a * syy + 2.0 * a * syn + snn) / n_frames
+        v = ex2 - m * m
+        scale = jax.lax.rsqrt(v + eps) / np.sqrt(2.0)
+        return a * scale, scale, m * scale
+
+    c1r, c2r, c3r = plane(syr, syyr, snr_, snnr, synr)
+    c1i, c2i, c3i = plane(syi, syyi, sni, snni, syni)
+    c = jnp.stack([c1r, c2r, c3r, c1i, c2i, c3i])
+    return a, c, noise_power, sig_pwr
+
+
+def _bits_from_idx(idx, nbits):
+    shifts = jnp.arange(nbits - 1, -1, -1, dtype=jnp.int32)
+    return ((idx[..., None] >> shifts) & 1).astype(jnp.int32)
+
+
+def _key_seeds(key: jax.Array) -> jnp.ndarray:
+    """PRNG key (typed or raw uint32 pair) -> int32 [2] seed words."""
+    if jnp.issubdtype(key.dtype, jax.dtypes.prng_key):
+        data = jax.random.key_data(key)
+    else:
+        data = key
+    return jax.lax.bitcast_convert_type(
+        data.reshape(-1)[:2].astype(jnp.uint32), jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 4))
+def fused_synthesize(spec: SynthSpec, n_frames: int, key: jax.Array,
+                     snr_db: jnp.ndarray, blk: int = 64):
+    """Returns (bits [B, frame, nbits] i32, rx_in [B, S, sps, 2], noise_pwr).
+
+    Drop-in for the train path of `Trainer.synthesize` (no h_freq — the
+    train step discards it; no norm groups)."""
+    if not (_HAS_PLTPU and _on_tpu()):
+        raise RuntimeError("fused_synthesize requires a TPU backend; "
+                           "use emulate_fused_synthesize off-TPU")
+    l = spec.length
+    seeds = _key_seeds(key)
+    std = (_SQRT_HALF * 10.0 ** (-snr_db.reshape(-1).astype(jnp.float32)
+                                 / 20.0)).reshape(n_frames, 1)
+    grid = (pl.cdiv(n_frames, blk),)
+    n_blocks = grid[0]
+    # pad std so the last (partial) block never reads out of bounds (padding
+    # garbage could be NaN, and NaN*0 would poison the masked statistics)
+    std = jnp.pad(std, ((0, n_blocks * blk - n_frames), (0, 0)))
+    mem = dict(memory_space=pltpu.VMEM)
+
+    consts = [jnp.asarray(spec.w_r), jnp.asarray(spec.w_i),
+              jnp.asarray(spec.bias_r), jnp.asarray(spec.bias_i),
+              jnp.asarray(spec.coeff).reshape(1, -1),
+              jnp.asarray(spec.alpha)]
+    const_specs = [
+        pl.BlockSpec(c.shape, lambda i, nd=c.ndim: (0,) * nd, **mem)
+        for c in consts]
+
+    idx, yr, yi, nr, ni, stats = pl.pallas_call(
+        functools.partial(_p1_kernel, spec, blk, n_frames),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((blk, 1), lambda i: (i, 0), **mem),
+        ] + const_specs,
+        out_specs=(
+            pl.BlockSpec((blk, spec.frame_size), lambda i: (i, 0), **mem),
+            pl.BlockSpec((blk, l), lambda i: (i, 0), **mem),
+            pl.BlockSpec((blk, l), lambda i: (i, 0), **mem),
+            pl.BlockSpec((blk, l), lambda i: (i, 0), **mem),
+            pl.BlockSpec((blk, l), lambda i: (i, 0), **mem),
+            pl.BlockSpec((1, 10, l), lambda i: (i, 0, 0), **mem),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_frames, spec.frame_size), jnp.int32),
+            jax.ShapeDtypeStruct((n_frames, l), jnp.float32),
+            jax.ShapeDtypeStruct((n_frames, l), jnp.float32),
+            jax.ShapeDtypeStruct((n_frames, l), jnp.float32),
+            jax.ShapeDtypeStruct((n_frames, l), jnp.float32),
+            jax.ShapeDtypeStruct((n_blocks, 10, l), jnp.float32),
+        ),
+    )(seeds, std, *consts)
+
+    sums = stats.sum(axis=0)
+    a, c, noise_power, _ = _combine_stats(sums, n_frames)
+
+    # fused XLA epilogue: the per-position affine normalize (awgn normalize +
+    # batch-norm folded by _combine_stats) + IQ stack, one elementwise pass
+    rxr = yr * c[0] + nr * c[1] - c[2]
+    rxi = yi * c[3] + ni * c[4] - c[5]
+    rx = jnp.stack([rxr, rxi], axis=-1).reshape(
+        n_frames, spec.nsymbol, spec.sps, 2)
+    bits = _bits_from_idx(idx, spec.nbits)
+    return bits, rx, noise_power
+
+
+# ---------------------------------------------------------------------------
+# jnp emulator (CPU-testable: same math, jax.random bit source)
+# ---------------------------------------------------------------------------
+
+
+def emulate_fused_synthesize(spec: SynthSpec, n_frames: int, key: jax.Array,
+                             snr_db: jnp.ndarray, debug: bool = False):
+    """Pure-jnp rendition of the fused chain (same helper functions, random
+    bits from jax.random) for validating the math off-TPU.  `debug=True`
+    additionally returns the pre-noise signal and noise planes so tests can
+    re-derive rx through the framework's own awgn/batch-norm ops."""
+    kb, kt1, kt2, kn1, kn2 = jax.random.split(key, 5)
+    l = spec.length
+    std = (_SQRT_HALF * 10.0 ** (-snr_db.reshape(-1).astype(jnp.float32)
+                                 / 20.0)).reshape(n_frames, 1)
+    rb = jax.lax.bitcast_convert_type(
+        jax.random.bits(kb, (n_frames, spec.frame_size), jnp.uint32),
+        jnp.int32)
+    idx = rb & jnp.int32(2 ** spec.nbits - 1)
+    sym_r, sym_i = _symbols_from_idx(idx.astype(jnp.float32), spec)
+    x_r, x_i = _tx_waveform(sym_r, sym_i,
+                            jnp.asarray(spec.w_r), jnp.asarray(spec.w_i),
+                            jnp.asarray(spec.bias_r),
+                            jnp.asarray(spec.bias_i), spec)
+    if spec.do_fir:
+        u1 = _u01(jax.lax.bitcast_convert_type(
+            jax.random.bits(kt1, (n_frames, spec.n_taps), jnp.uint32),
+            jnp.int32))
+        u2 = _u01(jax.lax.bitcast_convert_type(
+            jax.random.bits(kt2, (n_frames, spec.n_taps), jnp.uint32),
+            jnp.int32))
+        g0, g1 = _box_muller(u1, u2)
+        gt_r, gt_i = _tap_kernel(g0 * _SQRT_HALF, g1 * _SQRT_HALF,
+                                 jnp.asarray(spec.coeff).reshape(1, -1),
+                                 jnp.asarray(spec.alpha))
+        y_r, y_i = _fir_same(x_r, x_i, gt_r, gt_i, spec)
+    else:
+        y_r, y_i = x_r, x_i
+    nu1 = _u01(jax.lax.bitcast_convert_type(
+        jax.random.bits(kn1, (n_frames, l), jnp.uint32), jnp.int32))
+    nu2 = _u01(jax.lax.bitcast_convert_type(
+        jax.random.bits(kn2, (n_frames, l), jnp.uint32), jnp.int32))
+    un_r, un_i = _box_muller(nu1, nu2)
+    n_r, n_i = std * un_r, std * un_i
+
+    def rowsum(v):
+        return jnp.sum(v, axis=0)
+
+    sums = jnp.stack([
+        rowsum(y_r), rowsum(y_i), rowsum(y_r * y_r), rowsum(y_i * y_i),
+        rowsum(n_r), rowsum(n_i), rowsum(n_r * n_r), rowsum(n_i * n_i),
+        rowsum(y_r * n_r), rowsum(y_i * n_i)])
+    a, c, noise_power, _ = _combine_stats(sums, n_frames)
+    rxr = y_r * c[0] + n_r * c[1] - c[2]
+    rxi = y_i * c[3] + n_i * c[4] - c[5]
+    rx = jnp.stack([rxr, rxi], axis=-1).reshape(
+        n_frames, spec.nsymbol, spec.sps, 2)
+    bits = _bits_from_idx(idx, spec.nbits)
+    if debug:
+        return bits, rx, noise_power, (y_r, y_i, n_r, n_i)
+    return bits, rx, noise_power

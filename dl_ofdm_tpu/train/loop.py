@@ -31,6 +31,7 @@ from dl_ofdm_tpu.config import OFDMConfig, TrainConfig
 from dl_ofdm_tpu.models.dccn import DCCNReceiver
 from dl_ofdm_tpu.ofdm.plan import build_plan
 from dl_ofdm_tpu.ofdm.tx import ofdm_modulate_frames_iq
+from dl_ofdm_tpu.ops.fused_synth import build_synth_spec, fused_synthesize
 from dl_ofdm_tpu.ops.norms import batch_norm_ref
 from dl_ofdm_tpu.train import metrics as M
 
@@ -87,6 +88,20 @@ class Trainer:
         self.optimizer = make_optimizer(tc)
         self.batch_frames = max(1, tc.batch_size // cfg.nsymbol)
         self._grad_mask = None  # set by transfer learning
+        # fused Pallas synthesize (ops/fused_synth.py): eligible for static
+        # single-profile channels (incl. AWGN passthrough) without Doppler or
+        # mixing — the basic train_step data plane.  Engaged on TPU backends
+        # only; the jnp chain stays the oracle everywhere else.
+        self._fused_synth_spec = None
+        ch = self.channel
+        if (len(ch.profiles) == 1 and not ch.mix and not ch.has_doppler
+                and cfg.nbits <= 4):
+            prof = None if ch._passthrough[0] else ch.profiles[0]
+            self._fused_synth_spec = build_synth_spec(
+                self.plan, prof, cfg.nbits)
+        self._use_fused_synth = (
+            self._fused_synth_spec is not None
+            and jax.default_backend() in ("tpu", "axon"))
 
     # -- state ---------------------------------------------------------------
     def init_state(self, key: jax.Array) -> TrainState:
@@ -140,8 +155,12 @@ class Trainer:
     @partial(jax.jit, static_argnums=0)
     def train_step(self, state: TrainState, key: jax.Array,
                    snr_db: jnp.ndarray):
-        bits, rx_in, _, noise_pwr, _ = self.synthesize(
-            key, self.batch_frames, snr_db)
+        if self._use_fused_synth:
+            bits, rx_in, noise_pwr = fused_synthesize(
+                self._fused_synth_spec, self.batch_frames, key, snr_db)
+        else:
+            bits, rx_in, _, noise_pwr, _ = self.synthesize(
+                key, self.batch_frames, snr_db)
         (loss, aux), grads = jax.value_and_grad(self._loss_fn, has_aux=True)(
             state.params, bits, rx_in)
         if self._grad_mask is not None:

@@ -1,0 +1,131 @@
+"""On-chip validation + A/B timing of the fused Pallas synthesize kernel.
+
+Validation (the CPU tests pin the math via the shared-helper emulator; this
+script validates the hardware-only residue — PRNG plumbing, masking, Mosaic
+lowering):
+  1. batch-norm property: per-position mean ~ 0 and var ~ 1/2 EXACTLY (the
+     normalization uses the batch's own realized moments, so any PRNG/mask
+     defect breaks this identity) — checked at a block-divisible and a
+     non-divisible batch.
+  2. bits uniformity + determinism (same key -> bitwise-identical outputs).
+  3. noise power vs analytic expectation.
+  4. an 8-epoch BPSK/AWGN fit: label<->waveform correspondence (training
+     cannot learn if bits and symbols are mismatched).
+
+Timing: interleaved fused vs jnp synthesize and full train step.
+
+Usage: python scripts/fused_synth_check.py  (chip must be free)
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dl_ofdm_tpu.channel.profiles import get_profile
+from dl_ofdm_tpu.config import OFDMConfig, TrainConfig
+from dl_ofdm_tpu.ofdm.plan import build_plan
+from dl_ofdm_tpu.ops import fused_synth as fs
+from dl_ofdm_tpu.train.loop import Trainer
+from dl_ofdm_tpu.utils.timing import bench_steps, d2h_fence, measure_fence_cost
+
+
+def check_stats(spec, b, snr_val, tag):
+    key = jax.random.PRNGKey(42)
+    snr = jnp.full((b,), snr_val, jnp.float32)
+    bits, rx, npow = fs.fused_synthesize(spec, b, key, snr)
+    rx = np.asarray(rx)
+    assert np.all(np.isfinite(rx)), f"{tag}: non-finite rx"
+    pos_mean = rx.mean(axis=0)
+    pos_var = rx.var(axis=0)
+    print(f"{tag}: max|pos_mean|={np.abs(pos_mean).max():.2e} "
+          f"max|pos_var-0.5|={np.abs(pos_var-0.5).max():.2e}")
+    assert np.abs(pos_mean).max() < 1e-3, f"{tag}: batch-norm mean broken"
+    assert np.abs(pos_var - 0.5).max() < 1e-3, f"{tag}: batch-norm var broken"
+    bm = float(np.asarray(bits, np.float64).mean())
+    print(f"{tag}: bits mean={bm:.4f}  noise_pwr={float(npow):.4f} "
+          f"(expect {10**(-snr_val/10):.4f})")
+    assert abs(bm - 0.5) < 0.01
+    np.testing.assert_allclose(float(npow), 10 ** (-snr_val / 10), rtol=0.03)
+    # determinism
+    bits2, rx2, _ = fs.fused_synthesize(spec, b, key, snr)
+    assert np.array_equal(np.asarray(rx2), rx), f"{tag}: nondeterministic"
+    print(f"{tag}: deterministic OK")
+
+
+def main():
+    plan = build_plan(OFDMConfig(nbits=1))
+    spec_etu = fs.build_synth_spec(plan, get_profile("etu"), nbits=1)
+    check_stats(spec_etu, 4096, 5.0, "ETU b=4096")
+    check_stats(spec_etu, 1000, 5.0, "ETU b=1000 (masked tail)")
+    plan4 = build_plan(OFDMConfig(nbits=4))
+    spec16 = fs.build_synth_spec(plan4, None, nbits=4)
+    check_stats(spec16, 2048, 15.0, "16QAM/AWGN b=2048")
+
+    # label<->waveform correspondence: a short AWGN fit must learn
+    tr = Trainer(OFDMConfig(nbits=1), TrainConfig(batch_size=3584, snr=5.0),
+                 channel="AWGN")
+    assert tr._use_fused_synth, "fused path not engaged on TPU"
+    state, info = tr.fit(seed=0, max_epochs=8, grow_batch=False,
+                         log_fn=lambda *a: None)
+    final_ber = info["history"][-1]["val_ber"]
+    print(f"AWGN BPSK fit (fused synth): val BER after 8 epochs = "
+          f"{final_ber:.4f}")
+    assert final_ber < 0.05, "fused-synth training failed to learn"
+
+    # ---- interleaved timing -------------------------------------------------
+    fence = measure_fence_cost()
+    key = jax.random.PRNGKey(0)
+    tr_f = Trainer(OFDMConfig(nbits=1), TrainConfig(batch_size=65534),
+                   channel="ETU")
+    tr_j = Trainer(OFDMConfig(nbits=1), TrainConfig(batch_size=65534),
+                   channel="ETU")
+    tr_j._use_fused_synth = False
+    b = tr_f.batch_frames
+    snr = jnp.full((b,), 5.0, jnp.float32)
+
+    @jax.jit
+    def synth_fused(k):
+        return fs.fused_synthesize(tr_f._fused_synth_spec, b, k, snr)[1]
+
+    @jax.jit
+    def synth_jnp(k):
+        return tr_j.synthesize(k, b, snr)[1]
+
+    states = {"fused": {"s": tr_f.init_state(key)},
+              "jnp": {"s": tr_j.init_state(key)}}
+
+    def mk_step(tr, st):
+        def step(i):
+            st["s"], _ = tr.train_step(st["s"], jax.random.fold_in(key, i),
+                                       snr)
+            return st["s"].params
+        return step
+
+    variants = {
+        "synth-fused": lambda i: synth_fused(jax.random.fold_in(key, i)),
+        "synth-jnp": lambda i: synth_jnp(jax.random.fold_in(key, i)),
+        "step-fused": mk_step(tr_f, states["fused"]),
+        "step-jnp": mk_step(tr_j, states["jnp"]),
+    }
+    for name, fn in variants.items():
+        print(f"compiling {name}...", flush=True)
+        d2h_fence(fn(0))
+    best = {n: float("inf") for n in variants}
+    for rnd in range(4):
+        for n, fn in variants.items():
+            best[n] = min(best[n], bench_steps(fn, iters=30, repeats=1,
+                                               fence_cost=fence))
+        print(f"round {rnd}: " + "  ".join(
+            f"{n}={best[n]*1e3:.3f}ms" for n in variants), flush=True)
+    iq = b * 7 * 80
+    print(f"\n== best, {b} frames/step ==")
+    for n, t in best.items():
+        print(f"{n:12s} {t*1e3:7.3f} ms   {iq/t/1e9:6.2f} G IQ/s")
+
+
+if __name__ == "__main__":
+    main()

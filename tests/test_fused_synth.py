@@ -1,0 +1,160 @@
+"""Validate the fused-synthesize math (ops/fused_synth.py) off-TPU.
+
+The Pallas kernels and the jnp emulator share the same helper functions
+(`_tx_waveform`, `_fir_same`, `_tap_kernel`, `_combine_stats`, ...); these
+tests pin every helper to the framework's reference implementations, so the
+only hardware-only residue is the pltpu PRNG plumbing (validated on the chip
+by scripts/fused_synth_check.py — the Mosaic PRNG returns zeros under the
+Pallas interpreter, so it cannot be exercised here).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dl_ofdm_tpu.config import OFDMConfig
+from dl_ofdm_tpu.channel.profiles import get_profile
+from dl_ofdm_tpu.ofdm.plan import build_plan
+from dl_ofdm_tpu.ofdm.tx import ofdm_modulate_frames_iq
+from dl_ofdm_tpu.ops import fused_synth as fs
+
+
+@pytest.fixture(scope="module")
+def etu_spec():
+    plan = build_plan(OFDMConfig(nbits=1))
+    return fs.build_synth_spec(plan, get_profile("etu"), nbits=1), plan
+
+
+def test_tx_waveform_matches_modulator(etu_spec):
+    """The fused chain's per-symbol GEMM TX must equal the production
+    modulator on identical bits (all modulations)."""
+    for nbits in (1, 2, 4):
+        plan = build_plan(OFDMConfig(nbits=nbits))
+        spec = fs.build_synth_spec(plan, None, nbits=nbits)
+        key = jax.random.PRNGKey(0)
+        idx = jax.random.randint(key, (6, plan.frame_size), 0, 2 ** nbits)
+        bits = fs._bits_from_idx(idx, nbits)
+        sym_r, sym_i = fs._symbols_from_idx(idx.astype(jnp.float32), spec)
+        x_r, x_i = fs._tx_waveform(
+            sym_r, sym_i, jnp.asarray(spec.w_r), jnp.asarray(spec.w_i),
+            jnp.asarray(spec.bias_r), jnp.asarray(spec.bias_i), spec)
+        want = np.asarray(ofdm_modulate_frames_iq(bits, plan, fused="symbol"))
+        got_r = np.asarray(x_r).reshape(6, plan.nsymbol, plan.samples_per_symbol)
+        got_i = np.asarray(x_i).reshape(6, plan.nsymbol, plan.samples_per_symbol)
+        np.testing.assert_allclose(got_r, want[..., 0], atol=2e-5)
+        np.testing.assert_allclose(got_i, want[..., 1], atol=2e-5)
+
+
+def test_fir_same_matches_channel_fir(etu_spec):
+    """_fir_same must equal channel.fir.fir_same_iq (np.convolve 'same')."""
+    from dl_ofdm_tpu.channel import fir
+    spec, plan = etu_spec
+    key = jax.random.PRNGKey(1)
+    b, l = 5, spec.length
+    x = jax.random.normal(key, (b, l, 2))
+    h = jax.random.normal(jax.random.fold_in(key, 1), (b, spec.n_fir, 2))
+    want = np.asarray(fir.fir_same_iq(
+        x, h, np.full(b, spec.same_offset, np.int32)))
+    got_r, got_i = fs._fir_same(x[..., 0], x[..., 1],
+                                h[..., 0], h[..., 1], spec)
+    np.testing.assert_allclose(np.asarray(got_r), want[..., 0], atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_i), want[..., 1], atol=1e-4)
+
+
+def test_tap_kernel_matches_rayleigh_gt(etu_spec):
+    """gt = (zck*coeff) @ alpha, plane-separated, vs the channel's einsum."""
+    spec, _ = etu_spec
+    key = jax.random.PRNGKey(2)
+    zck = jax.random.normal(key, (4, spec.n_taps, 2)) / np.sqrt(2)
+    coeff = jnp.asarray(spec.coeff)
+    alpha = jnp.asarray(spec.alpha)
+    want = jnp.einsum("btc,btf->bfc", zck * coeff[None, :, None],
+                      jnp.broadcast_to(alpha, (4,) + alpha.shape))
+    got_r, got_i = fs._tap_kernel(zck[..., 0], zck[..., 1],
+                                  coeff.reshape(1, -1), alpha)
+    np.testing.assert_allclose(np.asarray(got_r), np.asarray(want[..., 0]),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_i), np.asarray(want[..., 1]),
+                               atol=1e-5)
+
+
+def test_normalization_algebra_matches_awgn_plus_batchnorm(etu_spec):
+    """_combine_stats' fold of AWGN-normalize + batch-norm into per-position
+    affine coefficients must reproduce awgn_channel + batch_norm_ref exactly,
+    given the same signal and noise realizations."""
+    from dl_ofdm_tpu.ops.norms import batch_norm_ref
+    spec, plan = etu_spec
+    key = jax.random.PRNGKey(3)
+    b = 64
+    snr = jnp.linspace(-5.0, 25.0, b)
+    bits, rx, npow, (y_r, y_i, n_r, n_i) = fs.emulate_fused_synthesize(
+        spec, b, key, snr, debug=True)
+    # reference computation on the SAME realizations
+    y_iq = jnp.stack([y_r, y_i], -1).reshape(b, plan.nsymbol, -1, 2)
+    n_iq = jnp.stack([n_r, n_i], -1).reshape(b, plan.nsymbol, -1, 2)
+    sig_pwr = jnp.mean(y_iq[..., 0] ** 2 + y_iq[..., 1] ** 2)
+    y2 = y_iq * jax.lax.rsqrt(sig_pwr) + n_iq            # awgn_channel core
+    want = batch_norm_ref(y2)
+    np.testing.assert_allclose(np.asarray(rx), np.asarray(want),
+                               atol=2e-4, rtol=1e-3)
+    want_npow = jnp.mean(n_iq[..., 0] ** 2 + n_iq[..., 1] ** 2)
+    np.testing.assert_allclose(float(npow), float(want_npow), rtol=1e-5)
+
+
+def test_emulator_statistics_match_jnp_chain():
+    """Distributional parity with the production jnp synthesize chain:
+    identical normalized-output moments and bit uniformity (different PRNG
+    streams, so moments compare within Monte-Carlo tolerance)."""
+    from dl_ofdm_tpu.config import TrainConfig
+    from dl_ofdm_tpu.train.loop import Trainer
+
+    cfg = OFDMConfig(nbits=1)
+    tr = Trainer(cfg, TrainConfig(batch_size=7 * 512), channel="ETU")
+    b = tr.batch_frames
+    key = jax.random.PRNGKey(4)
+    snr = jnp.full((b,), 5.0)
+    bits_j, rx_j, _, npow_j, _ = tr.synthesize(key, b, snr)
+    spec = fs.build_synth_spec(tr.plan, get_profile("etu"), nbits=1)
+    bits_f, rx_f, npow_f = fs.emulate_fused_synthesize(spec, b, key, snr)
+    assert rx_f.shape == rx_j.shape
+    assert bits_f.shape == bits_j.shape
+    # batch-norm forces per-position mean 0 / var 1/2 in both paths; compare
+    # third moments + means as a distribution check, and the noise power.
+    np.testing.assert_allclose(float(jnp.mean(rx_f)), float(jnp.mean(rx_j)),
+                               atol=1e-3)
+    np.testing.assert_allclose(float(jnp.var(rx_f)), float(jnp.var(rx_j)),
+                               atol=5e-3)
+    np.testing.assert_allclose(float(npow_f), float(npow_j), rtol=0.05)
+    assert abs(float(jnp.mean(bits_f)) - 0.5) < 0.01
+
+
+def test_awgn_passthrough_spec():
+    """AWGN spec (no FIR): rx distribution matches the fading-free chain."""
+    plan = build_plan(OFDMConfig(nbits=2))
+    spec = fs.build_synth_spec(plan, None, nbits=2)
+    assert not spec.do_fir
+    key = jax.random.PRNGKey(5)
+    b = 128
+    snr = jnp.full((b,), 10.0)
+    bits, rx, npow = fs.emulate_fused_synthesize(spec, b, key, snr)
+    assert rx.shape == (b, plan.nsymbol, plan.samples_per_symbol, 2)
+    # expected noise power for snr=10: 2 * 0.5 * 10^(-1) = 0.1 (both planes)
+    np.testing.assert_allclose(float(npow), 0.1, rtol=0.05)
+
+
+def test_trainer_uses_fused_synth_only_when_eligible():
+    """Trainer wiring: the fused path must engage only for static single
+    profiles without Doppler/mix and off-TPU must stay on the jnp path."""
+    from dl_ofdm_tpu.config import TrainConfig
+    from dl_ofdm_tpu.train.loop import Trainer
+
+    cfg = OFDMConfig(nbits=1)
+    t1 = Trainer(cfg, TrainConfig(batch_size=512), channel="ETU")
+    assert t1._fused_synth_spec is not None     # eligible (spec built)
+    assert not t1._use_fused_synth              # ...but off-TPU stays jnp
+    t2 = Trainer(cfg, TrainConfig(batch_size=512), channel="mixRayleigh")
+    assert t2._fused_synth_spec is None
+    t3 = Trainer(cfg, TrainConfig(batch_size=512), channel="EVA", mobile=True)
+    assert t3._fused_synth_spec is None
+    t4 = Trainer(cfg, TrainConfig(batch_size=512), channel="AWGN")
+    assert t4._fused_synth_spec is not None
