@@ -236,9 +236,11 @@ def _tap_kernel(zr, zi, coeff, alpha):
 def _p1_kernel(spec: SynthSpec, blk: int, n_frames: int,
                seed_ref, std_ref, wr_ref, wi_ref, br_ref, bi_ref,
                coeff_ref, alpha_ref,
-               idx_ref, yr_ref, yi_ref, nr_ref, ni_ref, stats_ref):
+               idx_ref, yr_ref, yi_ref, nr_ref, ni_ref, stats_ref,
+               xr_s, xi_s):
     bid = pl.program_id(0)
     l = spec.length
+    p = spec.n_fir - 1
 
     # --- bits + taps stream -------------------------------------------------
     pltpu.prng_seed(seed_ref[0], _stream_seed(seed_ref, 2 * bid))
@@ -248,8 +250,30 @@ def _p1_kernel(spec: SynthSpec, blk: int, n_frames: int,
     idx_ref[:] = idx
     idx_f = idx.astype(jnp.float32)
     sym_r, sym_i = _symbols_from_idx(idx_f, spec)
-    x_r, x_i = _tx_waveform(sym_r, sym_i, wr_ref[:], wi_ref[:],
-                            br_ref[:], bi_ref[:], spec)
+
+    # TX straight into the zero-padded FIR scratch plane: per-symbol GEMM
+    # segments are stored as computed, so no [blk, L] concat/pad copies stay
+    # live (VMEM stack pressure bounds the block size).
+    if p:
+        xr_s[:, :p] = jnp.zeros((blk, p), jnp.float32)
+        xi_s[:, :p] = jnp.zeros((blk, p), jnp.float32)
+        xr_s[:, p + l:] = jnp.zeros((blk, xr_s.shape[1] - p - l), jnp.float32)
+        xi_s[:, p + l:] = jnp.zeros((blk, xi_s.shape[1] - p - l), jnp.float32)
+    start = 0
+    for s, c in enumerate(spec.counts):
+        sr = jax.lax.slice_in_dim(sym_r, start, start + c, axis=1)
+        si = jax.lax.slice_in_dim(sym_i, start, start + c, axis=1)
+        wr = wr_ref[start:start + c, :]
+        wi = wi_ref[start:start + c, :]
+        a = jnp.dot(sr, wr, preferred_element_type=jnp.float32)
+        b = jnp.dot(si, wi, preferred_element_type=jnp.float32)
+        cdot = jnp.dot(sr, wi, preferred_element_type=jnp.float32)
+        d = jnp.dot(si, wr, preferred_element_type=jnp.float32)
+        seg = p + s * spec.sps
+        xr_s[:, seg:seg + spec.sps] = a - b + br_ref[s:s + 1, :]
+        xi_s[:, seg:seg + spec.sps] = cdot + d + bi_ref[s:s + 1, :]
+        start += c
+
     if spec.do_fir:
         u1 = _u01(pltpu.bitcast(
             pltpu.prng_random_bits((blk, spec.n_taps)), jnp.int32))
@@ -258,9 +282,19 @@ def _p1_kernel(spec: SynthSpec, blk: int, n_frames: int,
         g0, g1 = _box_muller(u1, u2)
         zr, zi = g0 * _SQRT_HALF, g1 * _SQRT_HALF   # CN(0,1) components
         gt_r, gt_i = _tap_kernel(zr, zi, coeff_ref[:], alpha_ref[:])
-        y_r, y_i = _fir_same(x_r, x_i, gt_r, gt_i, spec)
+        y_r = jnp.zeros((blk, l), jnp.float32)
+        y_i = jnp.zeros((blk, l), jnp.float32)
+        for k in range(spec.n_fir):
+            s = spec.same_offset - k + p
+            sr = xr_s[:, s:s + l]
+            si = xi_s[:, s:s + l]
+            hr = gt_r[:, k:k + 1]
+            hi = gt_i[:, k:k + 1]
+            y_r = y_r + sr * hr - si * hi
+            y_i = y_i + sr * hi + si * hr
     else:
-        y_r, y_i = x_r, x_i
+        y_r = xr_s[:, p:p + l]
+        y_i = xi_s[:, p:p + l]
     yr_ref[:] = y_r
     yi_ref[:] = y_i
 
@@ -343,6 +377,9 @@ def _key_seeds(key: jax.Array) -> jnp.ndarray:
 @functools.partial(jax.jit, static_argnums=(0, 1, 4))
 def fused_synthesize(spec: SynthSpec, n_frames: int, key: jax.Array,
                      snr_db: jnp.ndarray, blk: int = 64):
+    # blk=64: bigger blocks fit VMEM after the scratch refactor, but Mosaic
+    # compile time explodes (2 s at 64 vs ~190 s at 128 for the same grid)
+    # and the remote compile helper then dies flakily (HTTP 500)
     """Returns (bits [B, frame, nbits] i32, rx_in [B, S, sps, 2], noise_pwr).
 
     Drop-in for the train path of `Trainer.synthesize` (no h_freq — the
@@ -356,9 +393,13 @@ def fused_synthesize(spec: SynthSpec, n_frames: int, key: jax.Array,
                                  / 20.0)).reshape(n_frames, 1)
     grid = (pl.cdiv(n_frames, blk),)
     n_blocks = grid[0]
-    # pad std so the last (partial) block never reads out of bounds (padding
-    # garbage could be NaN, and NaN*0 would poison the masked statistics)
-    std = jnp.pad(std, ((0, n_blocks * blk - n_frames), (0, 0)))
+    # all kernel I/O is padded to whole blocks (partial blocks crash the
+    # Mosaic compile on this backend, and OOB padding garbage could be NaN,
+    # poisoning the masked statistics); padded rows carry real generated
+    # data, are excluded from the statistics by the in-kernel row mask, and
+    # are sliced off the returned arrays (the slice fuses into the epilogue)
+    b_pad = n_blocks * blk
+    std = jnp.pad(std, ((0, b_pad - n_frames), (0, 0)))
     mem = dict(memory_space=pltpu.VMEM)
 
     consts = [jnp.asarray(spec.w_r), jnp.asarray(spec.w_i),
@@ -385,13 +426,17 @@ def fused_synthesize(spec: SynthSpec, n_frames: int, key: jax.Array,
             pl.BlockSpec((1, 10, l), lambda i: (i, 0, 0), **mem),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((n_frames, spec.frame_size), jnp.int32),
-            jax.ShapeDtypeStruct((n_frames, l), jnp.float32),
-            jax.ShapeDtypeStruct((n_frames, l), jnp.float32),
-            jax.ShapeDtypeStruct((n_frames, l), jnp.float32),
-            jax.ShapeDtypeStruct((n_frames, l), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, spec.frame_size), jnp.int32),
+            jax.ShapeDtypeStruct((b_pad, l), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, l), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, l), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, l), jnp.float32),
             jax.ShapeDtypeStruct((n_blocks, 10, l), jnp.float32),
         ),
+        scratch_shapes=[
+            pltpu.VMEM((blk, l + 2 * (spec.n_fir - 1) + 2), jnp.float32),
+            pltpu.VMEM((blk, l + 2 * (spec.n_fir - 1) + 2), jnp.float32),
+        ],
     )(seeds, std, *consts)
 
     sums = stats.sum(axis=0)
@@ -399,11 +444,11 @@ def fused_synthesize(spec: SynthSpec, n_frames: int, key: jax.Array,
 
     # fused XLA epilogue: the per-position affine normalize (awgn normalize +
     # batch-norm folded by _combine_stats) + IQ stack, one elementwise pass
-    rxr = yr * c[0] + nr * c[1] - c[2]
-    rxi = yi * c[3] + ni * c[4] - c[5]
+    rxr = yr[:n_frames] * c[0] + nr[:n_frames] * c[1] - c[2]
+    rxi = yi[:n_frames] * c[3] + ni[:n_frames] * c[4] - c[5]
     rx = jnp.stack([rxr, rxi], axis=-1).reshape(
         n_frames, spec.nsymbol, spec.sps, 2)
-    bits = _bits_from_idx(idx, spec.nbits)
+    bits = _bits_from_idx(idx[:n_frames], spec.nbits)
     return bits, rx, noise_power
 
 
