@@ -121,7 +121,7 @@ def main():
     from dl_ofdm_tpu.train.loop import Trainer
 
     t_train, train_iq, tr = None, 0.0, None
-    for batch_size in (16384, 65534):
+    for batch_size in (16384, 65534, 131068):
         tr_c = Trainer(cfg, TrainConfig(batch_size=batch_size), channel="ETU")
         st = tr_c.init_state(key)
         snr = jnp.full((tr_c.batch_frames,), 5.0, jnp.float32)
