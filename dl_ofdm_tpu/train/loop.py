@@ -94,8 +94,13 @@ class Trainer:
         # only; the jnp chain stays the oracle everywhere else.
         self._fused_synth_spec = None
         ch = self.channel
+        # size gate: the kernel bakes the [frame_size, sps] TX operator pair
+        # into VMEM alongside ~10 [blk, S*sps] working planes; past ~2 MB of
+        # operator the kernel would blow the 16 MB scoped-VMEM budget (and
+        # Mosaic compile time grows sharply), so big grids keep the jnp chain
+        tx_op_bytes = 2 * 4 * self.plan.frame_size * self.plan.samples_per_symbol
         if (len(ch.profiles) == 1 and not ch.mix and not ch.has_doppler
-                and cfg.nbits <= 4):
+                and cfg.nbits <= 4 and tx_op_bytes <= 2 * 2**20):
             prof = None if ch._passthrough[0] else ch.profiles[0]
             self._fused_synth_spec = build_synth_spec(
                 self.plan, prof, cfg.nbits)

@@ -158,3 +158,7 @@ def test_trainer_uses_fused_synth_only_when_eligible():
     assert t3._fused_synth_spec is None
     t4 = Trainer(cfg, TrainConfig(batch_size=512), channel="AWGN")
     assert t4._fused_synth_spec is not None
+    # big grids keep the jnp chain (VMEM size gate)
+    t5 = Trainer(OFDMConfig(nbits=1, nfft=512), TrainConfig(batch_size=512),
+                 channel="ETU")
+    assert t5._fused_synth_spec is None
