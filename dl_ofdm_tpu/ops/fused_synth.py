@@ -1,5 +1,5 @@
 """Fused Pallas synthesize megakernel: bits -> OFDM TX -> FIR fading -> AWGN
--> batch-norm, one VMEM-resident pass (plus one normalize pass).
+-> batch-norm, one VMEM-resident pass (plus a fused XLA epilogue).
 
 Why: the train step's data plane (reference semantics: `dev/py/util.py:25-34`
 bits, `dev/py/ofdm.py:328-380` TX, `dev/py/radio.py:424-506` fading,
@@ -13,17 +13,29 @@ final outputs.
 Structure (the batch statistics force a second pass; it stays in XLA):
   * Kernel (grid over frame blocks): draw symbol indices (hardware RNG),
     per-symbol constant GEMMs (placement+IDFT+CP = `ofdm.tx._symbol_tx_operator`
-    semantics), draw Rayleigh taps (Box-Muller), synthesize the FIR kernel
-    (gains x fractional-delay alpha matrix) and convolve 'same' in VMEM,
-    draw the AWGN, and write: the faded signal y, the noise n, the symbol
-    indices, and 10 per-position partial sums (y, y^2, n, n^2, y*n for each
-    IQ plane) — everything the normalization needs.
+    semantics) stored straight into the zero-padded FIR scratch plane, draw
+    Rayleigh taps (Box-Muller), synthesize the per-frame FIR kernel (gains x
+    fractional-delay alpha matrix) and convolve 'same' in VMEM, draw the
+    AWGN, and write: the faded signal y, the noise n, the symbol indices,
+    optionally the ground-truth channel DFT, and 10 per-position partial
+    sums (y, y^2, n, n^2, y*n per IQ plane) — everything normalization needs.
   * XLA combines the partials into the exact batch moments of
     a*y + n (a = 1/sqrt(mean |y|^2), the AWGN normalizer) and applies
     rx = ((a*y + n) - mean) * rsqrt(var + eps) / sqrt(2) — exactly
     `ops.norms.batch_norm_ref` on the noisy signal — as ONE fused
     elementwise epilogue (cheaper than a second Pallas pass re-deriving the
     noise: measured 0.21 ms of HBM vs ~0.4 ms of regenerated Box-Muller).
+
+Channel mixes: static per-frame profile cycling (reference 'mixRayleigh' /
+'mixAll', `dev/py/radio.py:450-490`) is supported by choosing the block size
+as a multiple of the cycle length P, so every block sees the same
+row -> profile pattern and all per-profile parameters bake into per-row
+constants.  Profiles have different FIR lengths and 'same' alignments; the
+kernel unifies them by PRE-SHIFTING each profile's fractional-delay matrix
+so one common alignment offset serves every row (a time shift of the kernel
+equals a column shift of alpha).  AWGN frames inside 'mixAll' are a baked
+delta kernel (`gbias`) with zeroed tap gains.  Doppler (mobile) frames are
+NOT supported — they keep the jnp chain.
 
 Exactness: identical math to the jnp path except (a) the PRNG streams (TPU
 hardware PRNG + Box-Muller instead of threefry + inverse-CDF: same
@@ -33,9 +45,6 @@ bf16-quantized draws.  `emulate_fused_synthesize` runs the same math with
 jax.random bits for CPU validation (the Mosaic PRNG returns zeros under the
 Pallas interpreter, so the kernel itself is validated on hardware —
 scripts/fused_synth_check.py).
-
-Eligibility: single static channel profile (or AWGN passthrough), no Doppler,
-no mix, no per-group norm — i.e. the basic `Trainer.train_step` data plane.
 """
 from __future__ import annotations
 
@@ -77,6 +86,7 @@ class SynthSpec:                               # (jit static arg; ndarray fields
     nbits: int
     nsymbol: int
     sps: int                 # samples per symbol (nfft + cp)
+    nfft: int
     frame_size: int
     counts: tuple            # data subcarriers per OFDM symbol
     w_r: np.ndarray          # [frame_size, sps] per-data-SC IDFT rows
@@ -85,21 +95,43 @@ class SynthSpec:                               # (jit static arg; ndarray fields
     bias_i: np.ndarray
     table_r: tuple           # constellation (len 2^nbits)
     table_i: tuple
+    # channel: P = n_classes profiles cycling frame i -> class i % P
     do_fir: bool
-    n_taps: int
-    n_fir: int
-    same_offset: int
-    coeff: np.ndarray        # [n_taps]
-    alpha: np.ndarray        # [n_taps, n_fir]
+    n_classes: int
+    taps: int                # max tap count (zero-padded)
+    fir_u: int               # unified (pre-shifted) kernel length
+    off_u: int               # unified 'same' alignment offset
+    coeff_cls: np.ndarray    # [P, taps] tap weights (0 for passthrough rows)
+    alpha_cls: np.ndarray    # [P, taps, fir_u] PRE-SHIFTED alpha matrices
+    gbias_cls: np.ndarray    # [P, fir_u] baked delta kernel (passthrough)
+    hb_r: np.ndarray         # [P, taps, nfft] alpha @ DFT (ground-truth H)
+    hb_i: np.ndarray
+    hbias_cls: np.ndarray    # [P, nfft] H of the baked delta (passthrough)
 
     @property
     def length(self) -> int:
         return self.nsymbol * self.sps
 
+    @property
+    def block(self) -> int:
+        """Block size: multiple of the profile cycle and of the f32 sublane
+        count.  64 covers P in {1, 2, 4, 8}; 8P otherwise (e.g. 80 for
+        mixAll's 5-cycle).  Kept modest: Mosaic compile time explodes for
+        bigger blocks (~190 s at 128 vs ~2 s at 64 for the same grid)."""
+        p = self.n_classes
+        if 64 % p == 0:
+            return 64
+        blk = 8 * p
+        while blk < 64:
+            blk *= 2
+        return blk
 
-def build_synth_spec(plan: SubcarrierPlan, profile=None,
+
+def build_synth_spec(plan: SubcarrierPlan, profiles=None,
                      nbits: int = 1) -> SynthSpec:
-    """profile: a `channel.profiles.TapProfile`, or None for AWGN passthrough."""
+    """profiles: a `channel.profiles.TapProfile`, a sequence of them cycled
+    per frame (None entries = AWGN passthrough frames), or None for a pure
+    AWGN passthrough channel."""
     from dl_ofdm_tpu.ofdm.constellation import _table_np
     from dl_ofdm_tpu.ofdm.tx import _symbol_tx_operator
 
@@ -112,25 +144,58 @@ def build_synth_spec(plan: SubcarrierPlan, profile=None,
     w_r = np.concatenate(rows_r, axis=0).astype(np.float32)
     w_i = np.concatenate(rows_i, axis=0).astype(np.float32)
     table = _table_np(nbits)  # host-side: no complex dtype on this backend
-    if profile is None:
-        do_fir, n_taps, n_fir, off = False, 1, 1, 0
-        coeff = np.ones((1,), np.float32)
-        alpha = np.ones((1, 1), np.float32)
-    else:
-        do_fir = True
-        n_taps, n_fir, off = profile.n_taps, profile.n_fir, profile.same_offset
-        coeff = profile.ch_coeff.astype(np.float32)
-        alpha = profile.alpha_matrix.astype(np.float32)
+
+    if profiles is None or not isinstance(profiles, (list, tuple)):
+        profiles = [profiles]
+    p_n = len(profiles)
+    live = [p for p in profiles if p is not None]
+    do_fir = bool(live)
+    taps = max([p.n_taps for p in live], default=1)
+    off_u = max([p.same_offset for p in live], default=0)
+    fir_u = max([p.n_fir + off_u - p.same_offset for p in live], default=1)
+    nfft = plan.nfft
+    coeff = np.zeros((p_n, taps), np.float32)
+    alpha = np.zeros((p_n, taps, fir_u), np.float32)
+    gbias = np.zeros((p_n, fir_u), np.float32)
+    hb_r = np.zeros((p_n, taps, nfft), np.float32)
+    hb_i = np.zeros((p_n, taps, nfft), np.float32)
+    hbias = np.zeros((p_n, nfft), np.float32)
+    # H basis: fft of the UNSHIFTED kernel (ground-truth channel parity —
+    # the pre-shift is an alignment artifact that must not leak into H)
+    for c_idx, prof in enumerate(profiles):
+        if prof is None:
+            gbias[c_idx, off_u] = 1.0     # delta at the unified offset
+            hbias[c_idx, :] = 1.0         # fft(delta) = 1
+            continue
+        t_n, f_n = prof.n_taps, prof.n_fir
+        shift = off_u - prof.same_offset
+        coeff[c_idx, :t_n] = prof.ch_coeff
+        alpha[c_idx, :t_n, shift:shift + f_n] = prof.alpha_matrix
+        n = np.arange(f_n)
+        k = np.arange(nfft)
+        dft = np.exp(-2j * np.pi * np.outer(n, k) / nfft)
+        hb = prof.alpha_matrix.astype(np.complex64) @ dft    # [t_n, nfft]
+        hb_r[c_idx, :t_n] = hb.real
+        hb_i[c_idx, :t_n] = hb.imag
     return SynthSpec(
         nbits=nbits, nsymbol=plan.nsymbol, sps=plan.samples_per_symbol,
-        frame_size=plan.frame_size, counts=tuple(int(c) for c in counts),
+        nfft=nfft, frame_size=plan.frame_size,
+        counts=tuple(int(c) for c in counts),
         w_r=w_r, w_i=w_i,
         bias_r=bias[..., 0].astype(np.float32),
         bias_i=bias[..., 1].astype(np.float32),
         table_r=tuple(float(v) for v in table.real),
         table_i=tuple(float(v) for v in table.imag),
-        do_fir=do_fir, n_taps=n_taps, n_fir=n_fir, same_offset=off,
-        coeff=coeff, alpha=alpha)
+        do_fir=do_fir, n_classes=p_n, taps=taps, fir_u=fir_u, off_u=off_u,
+        coeff_cls=coeff, alpha_cls=alpha, gbias_cls=gbias,
+        hb_r=hb_r, hb_i=hb_i, hbias_cls=hbias)
+
+
+def _tile_rows(cls_arr: np.ndarray, blk: int) -> np.ndarray:
+    """[P, ...] per-class constants -> [blk, ...] per-row (row r -> r % P)."""
+    p = cls_arr.shape[0]
+    assert blk % p == 0
+    return np.tile(cls_arr, (blk // p,) + (1,) * (cls_arr.ndim - 1))
 
 
 # ---------------------------------------------------------------------------
@@ -197,21 +262,49 @@ def _tx_waveform(sym_r, sym_i, w_r, w_i, bias_r, bias_i, spec: SynthSpec):
     return jnp.concatenate(outs_r, axis=1), jnp.concatenate(outs_i, axis=1)
 
 
-def _fir_same(x_r, x_i, gt_r, gt_i, spec: SynthSpec):
-    """np.convolve(x, gt, 'same') per row: static shift-and-accumulate.
+def _tap_gt(zr, zi, coeff_rows, alpha_rows, gbias_rows, spec: SynthSpec):
+    """Per-row FIR kernel: gt[b] = sum_t z[b,t]*coeff[b,t]*alpha[b,t,:] +
+    gbias[b] (alpha pre-shifted to the unified offset; gbias is the baked
+    AWGN-passthrough delta, real-only)."""
+    gt_r = jnp.broadcast_to(gbias_rows, zr.shape[:1] + gbias_rows.shape[1:])
+    gt_i = jnp.zeros_like(gt_r)
+    for t in range(spec.taps):
+        wrt = (zr[:, t:t + 1] * coeff_rows[:, t:t + 1])
+        wit = (zi[:, t:t + 1] * coeff_rows[:, t:t + 1])
+        gt_r = gt_r + wrt * alpha_rows[:, t, :]
+        gt_i = gt_i + wit * alpha_rows[:, t, :]
+    return gt_r, gt_i
 
-    x planes [blk, L]; gt planes [blk, n_fir].  out[t] = sum_k x[t+off-k]*g[k]
-    with off = (n_fir-1)//2 (`dev/py/radio.py:436` alignment)."""
+
+def _tap_h(zr, zi, coeff_rows, hb_r, hb_i, hbias_rows, spec: SynthSpec):
+    """Ground-truth channel DFT: h[b] = sum_t (z*coeff)[b,t] * hbasis[b,t,:]
+    (complex x complex) + hbias (passthrough H=1)."""
+    h_r = jnp.broadcast_to(hbias_rows, zr.shape[:1] + hbias_rows.shape[1:])
+    h_i = jnp.zeros_like(h_r)
+    for t in range(spec.taps):
+        cr = zr[:, t:t + 1] * coeff_rows[:, t:t + 1]
+        ci = zi[:, t:t + 1] * coeff_rows[:, t:t + 1]
+        br = hb_r[:, t, :]
+        bi = hb_i[:, t, :]
+        h_r = h_r + cr * br - ci * bi
+        h_i = h_i + cr * bi + ci * br
+    return h_r, h_i
+
+
+def _fir_same(x_r, x_i, gt_r, gt_i, spec: SynthSpec):
+    """np.convolve(x, gt, 'same') per row with the unified pre-shifted
+    kernels: static shift-and-accumulate, out[t] = sum_k x[t+off_u-k]*g'[k]
+    (`dev/py/radio.py:436` alignment, per-profile offsets folded into g')."""
     if not spec.do_fir:
         return x_r, x_i
     l = x_r.shape[1]
-    p = spec.n_fir - 1
+    p = spec.fir_u - 1
     xp_r = jnp.pad(x_r, ((0, 0), (p, p)))
     xp_i = jnp.pad(x_i, ((0, 0), (p, p)))
     out_r = jnp.zeros_like(x_r)
     out_i = jnp.zeros_like(x_i)
-    for k in range(spec.n_fir):
-        s = spec.same_offset - k + p
+    for k in range(spec.fir_u):
+        s = spec.off_u - k + p
         sr = jax.lax.slice_in_dim(xp_r, s, s + l, axis=1)
         si = jax.lax.slice_in_dim(xp_i, s, s + l, axis=1)
         hr = gt_r[:, k:k + 1]
@@ -221,26 +314,23 @@ def _fir_same(x_r, x_i, gt_r, gt_i, spec: SynthSpec):
     return out_r, out_i
 
 
-def _tap_kernel(zr, zi, coeff, alpha):
-    """gt = (zck * ch_coeff) @ alpha (coeff/alpha real: plane-separable)."""
-    gr = jnp.dot(zr * coeff, alpha, preferred_element_type=jnp.float32)
-    gi = jnp.dot(zi * coeff, alpha, preferred_element_type=jnp.float32)
-    return gr, gi
-
-
 # ---------------------------------------------------------------------------
-# pass 1 kernel
+# the kernel
 # ---------------------------------------------------------------------------
 
 
-def _p1_kernel(spec: SynthSpec, blk: int, n_frames: int,
+def _p1_kernel(spec: SynthSpec, blk: int, n_frames: int, want_h: bool,
                seed_ref, std_ref, wr_ref, wi_ref, br_ref, bi_ref,
-               coeff_ref, alpha_ref,
-               idx_ref, yr_ref, yi_ref, nr_ref, ni_ref, stats_ref,
-               xr_s, xi_s):
+               coeff_ref, alpha_ref, gbias_ref, hbr_ref, hbi_ref, hbias_ref,
+               *refs):
+    if want_h:
+        (idx_ref, yr_ref, yi_ref, nr_ref, ni_ref, hr_ref, hi_ref,
+         stats_ref, xr_s, xi_s) = refs
+    else:
+        idx_ref, yr_ref, yi_ref, nr_ref, ni_ref, stats_ref, xr_s, xi_s = refs
     bid = pl.program_id(0)
     l = spec.length
-    p = spec.n_fir - 1
+    p = spec.fir_u - 1
 
     # --- bits + taps stream -------------------------------------------------
     pltpu.prng_seed(seed_ref[0], _stream_seed(seed_ref, 2 * bid))
@@ -276,16 +366,35 @@ def _p1_kernel(spec: SynthSpec, blk: int, n_frames: int,
 
     if spec.do_fir:
         u1 = _u01(pltpu.bitcast(
-            pltpu.prng_random_bits((blk, spec.n_taps)), jnp.int32))
+            pltpu.prng_random_bits((blk, spec.taps)), jnp.int32))
         u2 = _u01(pltpu.bitcast(
-            pltpu.prng_random_bits((blk, spec.n_taps)), jnp.int32))
+            pltpu.prng_random_bits((blk, spec.taps)), jnp.int32))
         g0, g1 = _box_muller(u1, u2)
         zr, zi = g0 * _SQRT_HALF, g1 * _SQRT_HALF   # CN(0,1) components
-        gt_r, gt_i = _tap_kernel(zr, zi, coeff_ref[:], alpha_ref[:])
+        # per-row FIR kernel (alpha/hb consts are [taps, blk, ...] so each
+        # tap is a lead-indexed 2-D plane — the layout Mosaic lowers cleanly)
+        coeff = coeff_ref[:]
+        gt_r = jnp.broadcast_to(gbias_ref[:], (blk, spec.fir_u)) * 1.0
+        gt_i = jnp.zeros((blk, spec.fir_u), jnp.float32)
+        for t in range(spec.taps):
+            wrt = zr[:, t:t + 1] * coeff[:, t:t + 1]
+            wit = zi[:, t:t + 1] * coeff[:, t:t + 1]
+            gt_r = gt_r + wrt * alpha_ref[t]
+            gt_i = gt_i + wit * alpha_ref[t]
+        if want_h:
+            h_r = jnp.broadcast_to(hbias_ref[:], (blk, spec.nfft)) * 1.0
+            h_i = jnp.zeros((blk, spec.nfft), jnp.float32)
+            for t in range(spec.taps):
+                cr = zr[:, t:t + 1] * coeff[:, t:t + 1]
+                ci = zi[:, t:t + 1] * coeff[:, t:t + 1]
+                h_r = h_r + cr * hbr_ref[t] - ci * hbi_ref[t]
+                h_i = h_i + cr * hbi_ref[t] + ci * hbr_ref[t]
+            hr_ref[:] = h_r
+            hi_ref[:] = h_i
         y_r = jnp.zeros((blk, l), jnp.float32)
         y_i = jnp.zeros((blk, l), jnp.float32)
-        for k in range(spec.n_fir):
-            s = spec.same_offset - k + p
+        for k in range(spec.fir_u):
+            s = spec.off_u - k + p
             sr = xr_s[:, s:s + l]
             si = xi_s[:, s:s + l]
             hr = gt_r[:, k:k + 1]
@@ -295,6 +404,9 @@ def _p1_kernel(spec: SynthSpec, blk: int, n_frames: int,
     else:
         y_r = xr_s[:, p:p + l]
         y_i = xi_s[:, p:p + l]
+        if want_h:
+            hr_ref[:] = jnp.ones((blk, spec.nfft), jnp.float32)
+            hi_ref[:] = jnp.zeros((blk, spec.nfft), jnp.float32)
     yr_ref[:] = y_r
     yi_ref[:] = y_i
 
@@ -376,18 +488,16 @@ def _key_seeds(key: jax.Array) -> jnp.ndarray:
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 4))
 def fused_synthesize(spec: SynthSpec, n_frames: int, key: jax.Array,
-                     snr_db: jnp.ndarray, blk: int = 64):
-    # blk=64: bigger blocks fit VMEM after the scratch refactor, but Mosaic
-    # compile time explodes (2 s at 64 vs ~190 s at 128 for the same grid)
-    # and the remote compile helper then dies flakily (HTTP 500)
-    """Returns (bits [B, frame, nbits] i32, rx_in [B, S, sps, 2], noise_pwr).
+                     snr_db: jnp.ndarray, want_h: bool = False):
+    """Returns (bits [B, frame, nbits] i32, rx_in [B, S, sps, 2], noise_pwr
+    [, h_freq [B, S, nfft, 2] when want_h]).
 
-    Drop-in for the train path of `Trainer.synthesize` (no h_freq — the
-    train step discards it; no norm groups)."""
+    Drop-in for the train path of `Trainer.synthesize` (no norm groups)."""
     if not (_HAS_PLTPU and _on_tpu()):
         raise RuntimeError("fused_synthesize requires a TPU backend; "
                            "use emulate_fused_synthesize off-TPU")
     l = spec.length
+    blk = spec.block
     seeds = _key_seeds(key)
     std = (_SQRT_HALF * 10.0 ** (-snr_db.reshape(-1).astype(jnp.float32)
                                  / 20.0)).reshape(n_frames, 1)
@@ -404,43 +514,60 @@ def fused_synthesize(spec: SynthSpec, n_frames: int, key: jax.Array,
 
     consts = [jnp.asarray(spec.w_r), jnp.asarray(spec.w_i),
               jnp.asarray(spec.bias_r), jnp.asarray(spec.bias_i),
-              jnp.asarray(spec.coeff).reshape(1, -1),
-              jnp.asarray(spec.alpha)]
+              jnp.asarray(_tile_rows(spec.coeff_cls, blk)),
+              # [taps, blk, ...] so each tap indexes a 2-D plane in-kernel
+              jnp.asarray(_tile_rows(spec.alpha_cls, blk).transpose(1, 0, 2)),
+              jnp.asarray(_tile_rows(spec.gbias_cls, blk)),
+              jnp.asarray(_tile_rows(spec.hb_r, blk).transpose(1, 0, 2)),
+              jnp.asarray(_tile_rows(spec.hb_i, blk).transpose(1, 0, 2)),
+              jnp.asarray(_tile_rows(spec.hbias_cls, blk))]
     const_specs = [
         pl.BlockSpec(c.shape, lambda i, nd=c.ndim: (0,) * nd, **mem)
         for c in consts]
 
-    idx, yr, yi, nr, ni, stats = pl.pallas_call(
-        functools.partial(_p1_kernel, spec, blk, n_frames),
+    out_specs = [
+        pl.BlockSpec((blk, spec.frame_size), lambda i: (i, 0), **mem),
+        pl.BlockSpec((blk, l), lambda i: (i, 0), **mem),
+        pl.BlockSpec((blk, l), lambda i: (i, 0), **mem),
+        pl.BlockSpec((blk, l), lambda i: (i, 0), **mem),
+        pl.BlockSpec((blk, l), lambda i: (i, 0), **mem),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((b_pad, spec.frame_size), jnp.int32),
+        jax.ShapeDtypeStruct((b_pad, l), jnp.float32),
+        jax.ShapeDtypeStruct((b_pad, l), jnp.float32),
+        jax.ShapeDtypeStruct((b_pad, l), jnp.float32),
+        jax.ShapeDtypeStruct((b_pad, l), jnp.float32),
+    ]
+    if want_h:
+        out_specs += [pl.BlockSpec((blk, spec.nfft), lambda i: (i, 0), **mem),
+                      pl.BlockSpec((blk, spec.nfft), lambda i: (i, 0), **mem)]
+        out_shape += [jax.ShapeDtypeStruct((b_pad, spec.nfft), jnp.float32),
+                      jax.ShapeDtypeStruct((b_pad, spec.nfft), jnp.float32)]
+    out_specs.append(pl.BlockSpec((1, 10, l), lambda i: (i, 0, 0), **mem))
+    out_shape.append(jax.ShapeDtypeStruct((n_blocks, 10, l), jnp.float32))
+
+    outs = pl.pallas_call(
+        functools.partial(_p1_kernel, spec, blk, n_frames, want_h),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((blk, 1), lambda i: (i, 0), **mem),
         ] + const_specs,
-        out_specs=(
-            pl.BlockSpec((blk, spec.frame_size), lambda i: (i, 0), **mem),
-            pl.BlockSpec((blk, l), lambda i: (i, 0), **mem),
-            pl.BlockSpec((blk, l), lambda i: (i, 0), **mem),
-            pl.BlockSpec((blk, l), lambda i: (i, 0), **mem),
-            pl.BlockSpec((blk, l), lambda i: (i, 0), **mem),
-            pl.BlockSpec((1, 10, l), lambda i: (i, 0, 0), **mem),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((b_pad, spec.frame_size), jnp.int32),
-            jax.ShapeDtypeStruct((b_pad, l), jnp.float32),
-            jax.ShapeDtypeStruct((b_pad, l), jnp.float32),
-            jax.ShapeDtypeStruct((b_pad, l), jnp.float32),
-            jax.ShapeDtypeStruct((b_pad, l), jnp.float32),
-            jax.ShapeDtypeStruct((n_blocks, 10, l), jnp.float32),
-        ),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         scratch_shapes=[
-            pltpu.VMEM((blk, l + 2 * (spec.n_fir - 1) + 2), jnp.float32),
-            pltpu.VMEM((blk, l + 2 * (spec.n_fir - 1) + 2), jnp.float32),
+            pltpu.VMEM((blk, l + 2 * (spec.fir_u - 1) + 2), jnp.float32),
+            pltpu.VMEM((blk, l + 2 * (spec.fir_u - 1) + 2), jnp.float32),
         ],
     )(seeds, std, *consts)
+    if want_h:
+        idx, yr, yi, nr, ni, hr, hi, stats = outs
+    else:
+        idx, yr, yi, nr, ni, stats = outs
 
     sums = stats.sum(axis=0)
-    a, c, noise_power, _ = _combine_stats(sums, n_frames)
+    _, c, noise_power, _ = _combine_stats(sums, n_frames)
 
     # fused XLA epilogue: the per-position affine normalize (awgn normalize +
     # batch-norm folded by _combine_stats) + IQ stack, one elementwise pass
@@ -449,6 +576,11 @@ def fused_synthesize(spec: SynthSpec, n_frames: int, key: jax.Array,
     rx = jnp.stack([rxr, rxi], axis=-1).reshape(
         n_frames, spec.nsymbol, spec.sps, 2)
     bits = _bits_from_idx(idx[:n_frames], spec.nbits)
+    if want_h:
+        h = jnp.stack([hr[:n_frames], hi[:n_frames]], axis=-1)
+        h_freq = jnp.broadcast_to(
+            h[:, None], (n_frames, spec.nsymbol, spec.nfft, 2))
+        return bits, rx, noise_power, h_freq
     return bits, rx, noise_power
 
 
@@ -458,7 +590,8 @@ def fused_synthesize(spec: SynthSpec, n_frames: int, key: jax.Array,
 
 
 def emulate_fused_synthesize(spec: SynthSpec, n_frames: int, key: jax.Array,
-                             snr_db: jnp.ndarray, debug: bool = False):
+                             snr_db: jnp.ndarray, debug: bool = False,
+                             want_h: bool = False):
     """Pure-jnp rendition of the fused chain (same helper functions, random
     bits from jax.random) for validating the math off-TPU.  `debug=True`
     additionally returns the pre-noise signal and noise planes so tests can
@@ -476,20 +609,33 @@ def emulate_fused_synthesize(spec: SynthSpec, n_frames: int, key: jax.Array,
                             jnp.asarray(spec.w_r), jnp.asarray(spec.w_i),
                             jnp.asarray(spec.bias_r),
                             jnp.asarray(spec.bias_i), spec)
+    rows = np.arange(n_frames) % spec.n_classes
+    coeff_rows = jnp.asarray(spec.coeff_cls[rows])
+    h = None
     if spec.do_fir:
         u1 = _u01(jax.lax.bitcast_convert_type(
-            jax.random.bits(kt1, (n_frames, spec.n_taps), jnp.uint32),
+            jax.random.bits(kt1, (n_frames, spec.taps), jnp.uint32),
             jnp.int32))
         u2 = _u01(jax.lax.bitcast_convert_type(
-            jax.random.bits(kt2, (n_frames, spec.n_taps), jnp.uint32),
+            jax.random.bits(kt2, (n_frames, spec.taps), jnp.uint32),
             jnp.int32))
         g0, g1 = _box_muller(u1, u2)
-        gt_r, gt_i = _tap_kernel(g0 * _SQRT_HALF, g1 * _SQRT_HALF,
-                                 jnp.asarray(spec.coeff).reshape(1, -1),
-                                 jnp.asarray(spec.alpha))
+        zr, zi = g0 * _SQRT_HALF, g1 * _SQRT_HALF
+        gt_r, gt_i = _tap_gt(zr, zi, coeff_rows,
+                             jnp.asarray(spec.alpha_cls[rows]),
+                             jnp.asarray(spec.gbias_cls[rows]), spec)
         y_r, y_i = _fir_same(x_r, x_i, gt_r, gt_i, spec)
+        if want_h:
+            h_r, h_i = _tap_h(zr, zi, coeff_rows,
+                              jnp.asarray(spec.hb_r[rows]),
+                              jnp.asarray(spec.hb_i[rows]),
+                              jnp.asarray(spec.hbias_cls[rows]), spec)
+            h = jnp.stack([h_r, h_i], axis=-1)
     else:
         y_r, y_i = x_r, x_i
+        if want_h:
+            h = jnp.stack([jnp.ones((n_frames, spec.nfft)),
+                           jnp.zeros((n_frames, spec.nfft))], axis=-1)
     nu1 = _u01(jax.lax.bitcast_convert_type(
         jax.random.bits(kn1, (n_frames, l), jnp.uint32), jnp.int32))
     nu2 = _u01(jax.lax.bitcast_convert_type(
@@ -510,6 +656,10 @@ def emulate_fused_synthesize(spec: SynthSpec, n_frames: int, key: jax.Array,
     rx = jnp.stack([rxr, rxi], axis=-1).reshape(
         n_frames, spec.nsymbol, spec.sps, 2)
     bits = _bits_from_idx(idx, spec.nbits)
+    ret = [bits, rx, noise_power]
+    if want_h:
+        ret.append(jnp.broadcast_to(
+            h[:, None], (n_frames, spec.nsymbol, spec.nfft, 2)))
     if debug:
-        return bits, rx, noise_power, (y_r, y_i, n_r, n_i)
-    return bits, rx, noise_power
+        ret.append((y_r, y_i, n_r, n_i))
+    return tuple(ret)

@@ -103,8 +103,14 @@ class EqualizerTrainer(Trainer):
     def train_step_curriculum(self, state: TrainState, key: jax.Array):
         ks, key = jax.random.split(key)
         snr_db = sample_snr(ks, self.batch_frames)
-        bits, rx_in, h_freq, noise_pwr, _ = self.synthesize(
-            key, self.batch_frames, snr_db)
+        if self._use_fused_synth:
+            from dl_ofdm_tpu.ops.fused_synth import fused_synthesize
+            bits, rx_in, noise_pwr, h_freq = fused_synthesize(
+                self._fused_synth_spec, self.batch_frames, key, snr_db,
+                want_h=True)
+        else:
+            bits, rx_in, h_freq, noise_pwr, _ = self.synthesize(
+                key, self.batch_frames, snr_db)
         (loss, aux), grads = jax.value_and_grad(
             self._loss_fn, has_aux=True)(state.params, bits, rx_in,
                                          h_freq, snr_db)

@@ -88,10 +88,11 @@ class Trainer:
         self.optimizer = make_optimizer(tc)
         self.batch_frames = max(1, tc.batch_size // cfg.nsymbol)
         self._grad_mask = None  # set by transfer learning
-        # fused Pallas synthesize (ops/fused_synth.py): eligible for static
-        # single-profile channels (incl. AWGN passthrough) without Doppler or
-        # mixing — the basic train_step data plane.  Engaged on TPU backends
-        # only; the jnp chain stays the oracle everywhere else.
+        # fused Pallas synthesize (ops/fused_synth.py): eligible for any
+        # STATIC channel — single profiles, AWGN passthrough, and the
+        # mixRayleigh/mixAll per-frame profile cycles — without Doppler.
+        # Engaged on TPU backends only; the jnp chain stays the oracle
+        # everywhere else.
         self._fused_synth_spec = None
         ch = self.channel
         # size gate: the kernel bakes the [frame_size, sps] TX operator pair
@@ -99,11 +100,12 @@ class Trainer:
         # operator the kernel would blow the 16 MB scoped-VMEM budget (and
         # Mosaic compile time grows sharply), so big grids keep the jnp chain
         tx_op_bytes = 2 * 4 * self.plan.frame_size * self.plan.samples_per_symbol
-        if (len(ch.profiles) == 1 and not ch.mix and not ch.has_doppler
-                and cfg.nbits <= 4 and tx_op_bytes <= 2 * 2**20):
-            prof = None if ch._passthrough[0] else ch.profiles[0]
+        if (not ch.has_doppler and cfg.nbits <= 4
+                and tx_op_bytes <= 2 * 2**20):
+            profs = [None if ch._passthrough[i] else p
+                     for i, p in enumerate(ch.profiles)]
             self._fused_synth_spec = build_synth_spec(
-                self.plan, prof, cfg.nbits)
+                self.plan, profs, cfg.nbits)
         self._use_fused_synth = (
             self._fused_synth_spec is not None
             and jax.default_backend() in ("tpu", "axon"))

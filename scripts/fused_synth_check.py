@@ -65,6 +65,34 @@ def main():
     spec16 = fs.build_synth_spec(plan4, None, nbits=4)
     check_stats(spec16, 2048, 15.0, "16QAM/AWGN b=2048")
 
+    # static channel mixes (the equalizer curriculum's data plane)
+    mixr = fs.build_synth_spec(
+        plan, [get_profile(n) for n in ("flat", "etu", "eva", "epa")],
+        nbits=1)
+    check_stats(mixr, 2048, 5.0, "mixRayleigh b=2048")
+    mixa = fs.build_synth_spec(
+        plan, [None] + [get_profile(n)
+                        for n in ("flat", "etu", "eva", "epa")], nbits=1)
+    check_stats(mixa, 2000, 5.0, "mixAll b=2000 (blk=80)")
+    # ground-truth H: finite, unit average power (normalized tap profiles)
+    import jax.numpy as jnp
+    key = jax.random.PRNGKey(7)
+    _, _, _, h = fs.fused_synthesize(mixr, 2048, key,
+                                     jnp.full((2048,), 5.0), True)
+    h = np.asarray(h)
+    assert np.all(np.isfinite(h))
+    hp = (h[..., 0] ** 2 + h[..., 1] ** 2).mean()
+    # analytic: E mean_k |H(k)|^2 = sum_t coeff_t^2 * ||alpha_t||^2 per
+    # profile (fractional-delay rows have ||row||^2 < 1), averaged over the
+    # mix; the flat profile's MC std alone is ~4% at 512 frames/profile
+    want = np.mean([float((p.ch_coeff[:, None] ** 2
+                           * p.alpha_matrix ** 2).sum())
+                    for p in (get_profile(n)
+                              for n in ("flat", "etu", "eva", "epa"))])
+    print(f"mixRayleigh ground-truth H: mean|H|^2 = {hp:.4f} "
+          f"(analytic {want:.4f})")
+    assert abs(hp - want) < 0.1
+
     # label<->waveform correspondence: a short AWGN fit must learn
     tr = Trainer(OFDMConfig(nbits=1), TrainConfig(batch_size=3584, snr=5.0),
                  channel="AWGN")

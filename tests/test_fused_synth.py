@@ -52,30 +52,120 @@ def test_fir_same_matches_channel_fir(etu_spec):
     key = jax.random.PRNGKey(1)
     b, l = 5, spec.length
     x = jax.random.normal(key, (b, l, 2))
-    h = jax.random.normal(jax.random.fold_in(key, 1), (b, spec.n_fir, 2))
+    h = jax.random.normal(jax.random.fold_in(key, 1), (b, spec.fir_u, 2))
     want = np.asarray(fir.fir_same_iq(
-        x, h, np.full(b, spec.same_offset, np.int32)))
+        x, h, np.full(b, spec.off_u, np.int32)))
     got_r, got_i = fs._fir_same(x[..., 0], x[..., 1],
                                 h[..., 0], h[..., 1], spec)
     np.testing.assert_allclose(np.asarray(got_r), want[..., 0], atol=1e-4)
     np.testing.assert_allclose(np.asarray(got_i), want[..., 1], atol=1e-4)
 
 
-def test_tap_kernel_matches_rayleigh_gt(etu_spec):
-    """gt = (zck*coeff) @ alpha, plane-separated, vs the channel's einsum."""
+def test_tap_gt_matches_rayleigh_gt(etu_spec):
+    """gt = (zck*coeff) @ alpha (+ passthrough bias), per-row, vs the
+    channel's einsum (single-profile spec: no pre-shift)."""
     spec, _ = etu_spec
+    prof = get_profile("etu")
     key = jax.random.PRNGKey(2)
-    zck = jax.random.normal(key, (4, spec.n_taps, 2)) / np.sqrt(2)
-    coeff = jnp.asarray(spec.coeff)
-    alpha = jnp.asarray(spec.alpha)
+    b = 4
+    zck = jax.random.normal(key, (b, prof.n_taps, 2)) / np.sqrt(2)
+    coeff = jnp.asarray(prof.ch_coeff)
+    alpha = jnp.asarray(prof.alpha_matrix)
     want = jnp.einsum("btc,btf->bfc", zck * coeff[None, :, None],
-                      jnp.broadcast_to(alpha, (4,) + alpha.shape))
-    got_r, got_i = fs._tap_kernel(zck[..., 0], zck[..., 1],
-                                  coeff.reshape(1, -1), alpha)
+                      jnp.broadcast_to(alpha, (b,) + alpha.shape))
+    rows = np.zeros(b, np.int32)
+    got_r, got_i = fs._tap_gt(zck[..., 0], zck[..., 1],
+                              jnp.asarray(spec.coeff_cls[rows]),
+                              jnp.asarray(spec.alpha_cls[rows]),
+                              jnp.asarray(spec.gbias_cls[rows]), spec)
     np.testing.assert_allclose(np.asarray(got_r), np.asarray(want[..., 0]),
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(got_i), np.asarray(want[..., 1]),
                                atol=1e-5)
+
+
+def test_mixed_spec_prealigned_fir_matches_per_profile_convolve():
+    """mixRayleigh spec: the unified pre-shifted kernels convolved at the
+    common offset must equal each profile's np.convolve(..., 'same') with
+    its own alignment (`dev/py/radio.py:450-467` per-frame profile cycle)."""
+    plan = build_plan(OFDMConfig(nbits=1))
+    names = ["flat", "etu", "eva", "epa"]
+    profs = [get_profile(n) for n in names]
+    spec = fs.build_synth_spec(plan, profs, nbits=1)
+    assert spec.n_classes == 4 and spec.block % 4 == 0
+    key = jax.random.PRNGKey(3)
+    b = 8  # two full cycles
+    rows = np.arange(b) % 4
+    x = jax.random.normal(key, (b, spec.length, 2))
+    zck = jax.random.normal(jax.random.fold_in(key, 1),
+                            (b, spec.taps, 2)) / np.sqrt(2)
+    gt_r, gt_i = fs._tap_gt(zck[..., 0], zck[..., 1],
+                            jnp.asarray(spec.coeff_cls[rows]),
+                            jnp.asarray(spec.alpha_cls[rows]),
+                            jnp.asarray(spec.gbias_cls[rows]), spec)
+    got_r, got_i = fs._fir_same(x[..., 0], x[..., 1], gt_r, gt_i, spec)
+    for i in range(b):
+        p = profs[rows[i]]
+        z = np.asarray(zck[i, :p.n_taps, 0] + 1j * zck[i, :p.n_taps, 1])
+        gt = (z * p.ch_coeff) @ p.alpha_matrix
+        xs = np.asarray(x[i, :, 0] + 1j * x[i, :, 1])
+        want = np.convolve(xs, gt, mode="same")
+        np.testing.assert_allclose(np.asarray(got_r[i]), want.real,
+                                   atol=2e-4, err_msg=names[rows[i]])
+        np.testing.assert_allclose(np.asarray(got_i[i]), want.imag,
+                                   atol=2e-4, err_msg=names[rows[i]])
+
+
+def test_mixed_spec_ground_truth_h_matches_fft():
+    """_tap_h's per-row DFT basis must equal fft(gt, nfft), incl. the
+    mixAll AWGN-passthrough rows (H = 1)."""
+    plan = build_plan(OFDMConfig(nbits=1))
+    names = [None, "flat", "etu", "eva", "epa"]   # mixAll cycle
+    profs = [None if n is None else get_profile(n) for n in names]
+    spec = fs.build_synth_spec(plan, profs, nbits=1)
+    assert spec.n_classes == 5 and spec.block % 5 == 0
+    key = jax.random.PRNGKey(4)
+    b = 10
+    rows = np.arange(b) % 5
+    zck = jax.random.normal(key, (b, spec.taps, 2)) / np.sqrt(2)
+    h_r, h_i = fs._tap_h(zck[..., 0], zck[..., 1],
+                         jnp.asarray(spec.coeff_cls[rows]),
+                         jnp.asarray(spec.hb_r[rows]),
+                         jnp.asarray(spec.hb_i[rows]),
+                         jnp.asarray(spec.hbias_cls[rows]), spec)
+    for i in range(b):
+        p = profs[rows[i]]
+        if p is None:
+            want = np.ones(plan.nfft, np.complex64)
+        else:
+            z = np.asarray(zck[i, :p.n_taps, 0] + 1j * zck[i, :p.n_taps, 1])
+            gt = (z * p.ch_coeff) @ p.alpha_matrix
+            want = np.fft.fft(gt, plan.nfft)
+        np.testing.assert_allclose(np.asarray(h_r[i]), want.real, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(h_i[i]), want.imag, atol=2e-4)
+
+
+def test_mixed_passthrough_rows_keep_signal():
+    """mixAll row class 0 (AWGN) must pass the waveform through unchanged."""
+    plan = build_plan(OFDMConfig(nbits=1))
+    profs = [None, get_profile("etu")]
+    spec = fs.build_synth_spec(plan, profs, nbits=1)
+    key = jax.random.PRNGKey(5)
+    b = 4
+    rows = np.arange(b) % 2
+    x = jax.random.normal(key, (b, spec.length, 2))
+    zck = jax.random.normal(jax.random.fold_in(key, 1),
+                            (b, spec.taps, 2))
+    gt_r, gt_i = fs._tap_gt(zck[..., 0], zck[..., 1],
+                            jnp.asarray(spec.coeff_cls[rows]),
+                            jnp.asarray(spec.alpha_cls[rows]),
+                            jnp.asarray(spec.gbias_cls[rows]), spec)
+    got_r, got_i = fs._fir_same(x[..., 0], x[..., 1], gt_r, gt_i, spec)
+    for i in (0, 2):
+        np.testing.assert_allclose(np.asarray(got_r[i]),
+                                   np.asarray(x[i, :, 0]), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(got_i[i]),
+                                   np.asarray(x[i, :, 1]), atol=1e-6)
 
 
 def test_normalization_algebra_matches_awgn_plus_batchnorm(etu_spec):
@@ -153,9 +243,17 @@ def test_trainer_uses_fused_synth_only_when_eligible():
     assert t1._fused_synth_spec is not None     # eligible (spec built)
     assert not t1._use_fused_synth              # ...but off-TPU stays jnp
     t2 = Trainer(cfg, TrainConfig(batch_size=512), channel="mixRayleigh")
-    assert t2._fused_synth_spec is None
+    assert t2._fused_synth_spec is not None     # static mixes are eligible
+    assert t2._fused_synth_spec.n_classes == 4
+    t2a = Trainer(cfg, TrainConfig(batch_size=512), channel="mixAll")
+    assert t2a._fused_synth_spec is not None
+    assert t2a._fused_synth_spec.n_classes == 5
+    assert t2a._fused_synth_spec.block == 80
     t3 = Trainer(cfg, TrainConfig(batch_size=512), channel="EVA", mobile=True)
     assert t3._fused_synth_spec is None
+    t3a = Trainer(cfg, TrainConfig(batch_size=512), channel="mixRayleigh",
+                  mobile=True)
+    assert t3a._fused_synth_spec is None        # Doppler keeps the jnp chain
     t4 = Trainer(cfg, TrainConfig(batch_size=512), channel="AWGN")
     assert t4._fused_synth_spec is not None
     # big grids keep the jnp chain (VMEM size gate)
