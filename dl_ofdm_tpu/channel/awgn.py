@@ -59,6 +59,28 @@ def awgn_channel_phase(key: jax.Array, x_iq: jnp.ndarray, snr_db: jnp.ndarray,
     return y, noise_power
 
 
+def awgn_channel_norm(key: jax.Array, x_iq: jnp.ndarray, snr_db: jnp.ndarray,
+                      norm: bool = True, eps: float = 1e-6):
+    """The reference's norm-toggle AWGN variant (`dev/py/radio.py:91-120`):
+    batch-normalize the input (moments over axis 0) / sqrt(2); the noise std
+    is sqrt(0.5)*10^(-SNR/20), optionally (norm toggle, a graph-time int
+    condition in the reference) multiplied by each frame's post-normalization
+    RMS amplitude.  Returns (noisy IQ, mean noise power)."""
+    b = x_iq.shape[0]
+    mean = jnp.mean(x_iq, axis=0, keepdims=True)
+    var = jnp.var(x_iq, axis=0, keepdims=True)
+    x_norm = (x_iq - mean) * jax.lax.rsqrt(var + eps) / jnp.sqrt(2.0)
+    amp2 = x_norm[..., 0] ** 2 + x_norm[..., 1] ** 2
+    avg_amp = jnp.sqrt(jnp.mean(amp2.reshape(b, -1), axis=1))    # [B]
+    level = jnp.sqrt(0.5) * 10.0 ** (-snr_db.reshape(b) / 20.0)
+    if norm:
+        level = level * avg_amp
+    noise = level.reshape(b, 1, 1, 1) * jax.random.normal(
+        key, x_iq.shape, x_iq.dtype)
+    noise_power = jnp.mean(noise[..., 0] ** 2 + noise[..., 1] ** 2)
+    return x_norm + noise, noise_power
+
+
 def awgn_channel_complex(key: jax.Array, x: jnp.ndarray, snr_db: jnp.ndarray):
     """Complex-waveform variant: x [B, S, T] complex, snr_db [B]."""
     snr_db = snr_db.reshape(-1, 1, 1)
