@@ -46,6 +46,12 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--save_dir", default="./output/")
     p.add_argument("--opt", type=int, default=0)
     p.add_argument("--test", type=_bool, default=False)
+    p.add_argument("--load_model", default="",
+                   help="checkpoint path to warm-start params/opt state from "
+                        "(reference --load_model, ofdmreceiver_np.py:197-203)")
+    p.add_argument("--ckpt_every", type=int, default=50,
+                   help="epochs between mid-run resume checkpoints (written "
+                        "to <save_dir>/<token>.../resume; 0 disables)")
 
 
 def _configs(args):
@@ -78,7 +84,14 @@ def cmd_train(args):
         state = ckpt.restore(path, state)
         params = state.params
     else:
-        state, info = trainer.fit()
+        init_state = None
+        if args.load_model:
+            init_state = ckpt.restore(
+                args.load_model, trainer.init_state(jax.random.PRNGKey(0)))
+        state, info = trainer.fit(
+            init_state=init_state,
+            ckpt_dir=(path + '.wip') if args.ckpt_every > 0 else None,
+            ckpt_every=args.ckpt_every or 50)
         params = state.params
         ckpt.save(path, state)
         print(f"Training done, best epoch {info['best_epoch']}; saved {path}")
@@ -112,7 +125,14 @@ def cmd_equalizer(args):
         state = trainer.init_state(jax.random.PRNGKey(0))
         state = ckpt.restore(eq_path, state)
     else:
-        state, info = trainer.fit()
+        init_state = None
+        if args.load_model:
+            init_state = ckpt.restore(
+                args.load_model, trainer.init_state(jax.random.PRNGKey(0)))
+        state, info = trainer.fit(
+            init_state=init_state,
+            ckpt_dir=(eq_path + '.wip') if args.ckpt_every > 0 else None,
+            ckpt_every=args.ckpt_every or 50)
         ckpt.save(eq_path, state)
         print(f"Equalizer training done, best epoch {info['best_epoch']}")
 

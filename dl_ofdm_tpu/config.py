@@ -77,6 +77,10 @@ class TrainConfig:
     double_softmax: bool = False   # reproduce reference quirk of CE on softmaxed
                                    # outputs (ofdmreceiver_np.py:155-159); the
                                    # default trains on true logits.
+    curriculum_offset: Optional[float] = None  # dB shift of the equalizer-stage
+                                   # SNR curriculum grid; None = auto
+                                   # (+2.5 dB per extra modulation bit,
+                                   # see train/curriculum.py)
 
     def frames_per_epoch(self, nsymbol: int = 7) -> int:
         """Frames per epoch = msg_length // nsymbol (symbols per frame)."""

@@ -49,6 +49,8 @@ class EqSpec:
     cascade: int = 0              # residual cascade steps on pilot features
                                   # (legacy equalizer_freq/equalizer_block
                                   # structure, `model.py:1337-1360,262-298`)
+    eq_div: str = "phase"         # 'phase' (reference, conj(H)/|H|) | 'zf'
+                                  # (extension: conj(H)/|H|^2 zero-forcing)
 
 
 EQUALIZER_REGISTRY: dict[int, EqSpec] = {
@@ -72,7 +74,42 @@ EQUALIZER_REGISTRY: dict[int, EqSpec] = {
     # equalizer_block, dev/py/model.py:1337-1360 and :262-298) exposed as a
     # selectable variant beyond the reference's 0-10 dispatch.
     11: EqSpec(cascade=4),
+    # extension id: zero-forcing equalization.  The reference divides by |H|
+    # only (`dev/py/model.py:430-434`), i.e. corrects phase but leaves the
+    # per-subcarrier amplitude distortion |H| in place.  That is harmless for
+    # constant-modulus constellations (BPSK/QPSK) but structurally caps
+    # higher-order QAM over fading: the frozen demodulation head sees
+    # realization-dependent amplitude scaling it cannot undo, which matches
+    # the observed ~1.5e-1 16QAM BER floor.  opt 12 replaces the division by
+    # conj(H)/(|H|^2+eps) on an RMS-normalized channel estimate (true ZF,
+    # scale-invariant like the reference's form, inverse bounded at deep
+    # fades) — everything else identical to opt 0 for a clean ablation.
+    12: EqSpec(eq_div="zf"),
 }
+
+
+def equalize_iq(input_freq: jnp.ndarray, chest_iq: jnp.ndarray,
+                eq_div: str) -> jnp.ndarray:
+    """Apply the channel estimate to the frequency-domain input (IQ pairs).
+
+    'phase': reference parity, eq = Y * conj(H)/|H| (`dev/py/model.py:430-434`)
+    — corrects phase only, leaving the amplitude distortion |H| in place.
+    'zf': extension (opt 12), eq = Y * conj(Hn)/(|Hn|^2 + 1e-2) with Hn the
+    RMS-normalized estimate — true zero-forcing, scale-invariant in the
+    learned chest magnitude, inverse bounded (~10x) in deep fades.
+    """
+    if eq_div == "zf":
+        rms = jnp.sqrt(jnp.mean(jnp.sum(chest_iq**2, axis=-1),
+                                axis=(1, 2), keepdims=True))[..., None]
+        chest_n = chest_iq / (rms + 1e-12)
+        h_norm = cfloat.conj_iq(chest_n) / (
+            jnp.sum(chest_n**2, axis=-1, keepdims=True) + 1e-2)
+    elif eq_div == "phase":
+        h_norm = cfloat.conj_iq(chest_iq) / (
+            cfloat.abs_iq(chest_iq, eps=1e-24)[..., None] + 1e-12)
+    else:
+        raise ValueError(eq_div)
+    return cfloat.cmul_iq(input_freq, h_norm)
 
 
 class Equalizer(nn.Module):
@@ -148,10 +185,9 @@ class Equalizer(nn.Module):
                 c = blk.reshape(b, s * k * 2)
         chest_iq = c.reshape(b, s, k, 2)                   # [B, S, K, 2]
 
-        # -- equalization: eq = Y * conj(H) / |H| (real-pair algebra) ------
-        h_norm = cfloat.conj_iq(chest_iq) / (
-            cfloat.abs_iq(chest_iq, eps=1e-24)[..., None] + 1e-12)
-        eq_freq_iq = cfloat.cmul_iq(input_freq, h_norm)    # [B, S, K, 2]
+        # -- equalization (see equalize_iq: 'phase' = reference parity,
+        # 'zf' = opt-12 zero-forcing extension) -----------------------------
+        eq_freq_iq = equalize_iq(input_freq, chest_iq, spec.eq_div)
 
         # -- autocorrelation feature ---------------------------------------
         feats = []

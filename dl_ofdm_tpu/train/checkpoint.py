@@ -4,6 +4,14 @@ Checkpoints store {params, opt_state, step} plus metadata (config token).
 Naming schema mirrors the reference
 (`<token>_<n>mod_snr<s>_cp<b>[_Equalizer<opt>_<chan>]`,
 `dev/py/run_local_ofdm.py:77,104`).
+
+`save_resume`/`restore_resume` extend this to full mid-run resumability
+(SURVEY §5.4: "params + optimizer state + PRNG key + sweep cursor"): the
+payload additionally carries the epoch-loop PRNG key, the epoch cursor,
+best-loss tracking and the (adaptively grown) batch size, so a killed
+multi-thousand-epoch fit restarts bit-exactly from the last saved epoch —
+the TPU-native equivalent of the reference's save-best-every-epoch +
+`--load_model` flow (`dev/py/ofdmreceiver_np.py:197-203,268-274`).
 """
 from __future__ import annotations
 
@@ -52,3 +60,41 @@ def restore(path: str, target: Any) -> Any:
     data = np.load(os.path.join(path, "state.npz"))
     return jax.tree_util.tree_unflatten(
         treedef, [data[k] for k in data.files])
+
+
+# -- full-resume payloads (params + opt state + PRNG key + cursor) -----------
+
+def _resume_payload(state, key, epoch, best_loss, best_epoch, best_params,
+                    batch_frames):
+    return {
+        "state": state,
+        "key": np.asarray(key),
+        "best_params": best_params,
+        "cursor": {
+            "epoch": np.int64(epoch),
+            "best_epoch": np.int64(best_epoch),
+            "best_loss": np.float64(best_loss),
+            "batch_frames": np.int64(batch_frames),
+        },
+    }
+
+
+def save_resume(path: str, *, state: Any, key: jax.Array, epoch: int,
+                best_loss: float, best_epoch: int, best_params: Any,
+                batch_frames: int) -> str:
+    """Write a full mid-run resume checkpoint (atomic via Orbax)."""
+    return save(path, _resume_payload(state, key, epoch, best_loss,
+                                      best_epoch, best_params, batch_frames))
+
+
+def has_resume(path: str) -> bool:
+    path = os.path.abspath(path)
+    return os.path.isdir(path) and bool(os.listdir(path))
+
+
+def restore_resume(path: str, state_target: Any, key_like: jax.Array) -> dict:
+    """Restore a `save_resume` payload; `state_target`/`key_like` provide the
+    pytree structure (an `init_state()` result and any PRNG key)."""
+    target = _resume_payload(state_target, key_like, 0, np.inf, 0,
+                             state_target.params, 1)
+    return restore(path, target)

@@ -28,7 +28,7 @@ from dl_ofdm_tpu.models.equalizers import EQUALIZER_REGISTRY
 from dl_ofdm_tpu.models.receiver import EqualizedReceiver
 from dl_ofdm_tpu.ops.norms import frame_layer_norm
 from dl_ofdm_tpu.train import metrics as M
-from dl_ofdm_tpu.train.curriculum import sample_snr
+from dl_ofdm_tpu.train.curriculum import modulation_offset_db, sample_snr
 from dl_ofdm_tpu.train.loop import Trainer, TrainState
 from dl_ofdm_tpu.train.transfer import graft_pretrained, masked_optimizer
 
@@ -55,6 +55,12 @@ class EqualizerTrainer(Trainer):
         self.pretrained_rx = pretrained_rx
         # freeze everything outside the Equalizer scope
         self._eq_reg_coeff = 1e-3   # `ofdmreceiver_np_mp.py:338`
+        # modulation-aware curriculum shift (see train/curriculum.py); the
+        # reference grid (offset 0) is exact parity for its only equalizer
+        # config, BPSK.
+        self._snr_offset = (tc.curriculum_offset
+                            if tc.curriculum_offset is not None
+                            else modulation_offset_db(cfg.nbits))
 
     def _install_optimizer(self, params) -> None:
         """Build the Equalizer-scope-masked optimizer + gradient mask for a
@@ -102,7 +108,7 @@ class EqualizerTrainer(Trainer):
     @partial(jax.jit, static_argnums=0)
     def train_step_curriculum(self, state: TrainState, key: jax.Array):
         ks, key = jax.random.split(key)
-        snr_db = sample_snr(ks, self.batch_frames)
+        snr_db = sample_snr(ks, self.batch_frames, self._snr_offset)
         # The fused data plane (incl. in-kernel ground-truth H) supports the
         # static-mix curriculum, but is OPT-IN here (`fused_curriculum =
         # True`): at the reference batch (512 -> 73 frames/step) the jnp
@@ -129,9 +135,10 @@ class EqualizerTrainer(Trainer):
         return TrainState(new_params, opt_state, state.step + 1), aux
 
     def fit(self, seed: int = None, max_epochs: int = None, log_fn=print,
-            init_state: TrainState = None):
-        """`init_state` warm-starts from a restored checkpoint."""
-        import numpy as np
+            init_state: TrainState = None,
+            ckpt_dir: str = None, ckpt_every: int = 50):
+        """`init_state` warm-starts from a restored checkpoint; `ckpt_dir`
+        enables crash-resumable training (see `Trainer.fit`)."""
         tc = self.tc
         seed = tc.seed if seed is None else seed
         max_epochs = tc.max_epoch_num if max_epochs is None else max_epochs
@@ -143,9 +150,12 @@ class EqualizerTrainer(Trainer):
         else:
             state = self.init_state(k0)
         steps_per_epoch = max(1, tc.frames_per_epoch(self.cfg.nsymbol) // self.batch_frames)
-        best_loss, best_epoch, best_params = np.inf, 0, state.params
+        state, key, start_epoch, best_loss, best_epoch, best_params, res = \
+            self._maybe_resume(ckpt_dir, state, key)
+        if res:
+            log_fn(f"resumed from {ckpt_dir}/resume at epoch {start_epoch}")
         history = []
-        for epoch in range(max_epochs):
+        for epoch in range(start_epoch, max_epochs):
             losses = []
             for _ in range(steps_per_epoch):
                 key, k = jax.random.split(key)
@@ -154,7 +164,7 @@ class EqualizerTrainer(Trainer):
             epoch_loss = float(jnp.mean(jnp.stack(losses)))
             key, ks, k = jax.random.split(key, 3)
             val = self.eval_step(state.params, k, 1024,
-                                 sample_snr(ks, 1024))
+                                 sample_snr(ks, 1024, self._snr_offset))
             history.append({"epoch": epoch, "train_loss": epoch_loss,
                             "val_ber": float(val["ber"])})
             log_fn(f"epoch {epoch}: train_ce={epoch_loss:.5f} "
@@ -162,6 +172,9 @@ class EqualizerTrainer(Trainer):
             if epoch_loss < best_loss:
                 best_loss, best_epoch = epoch_loss, epoch
                 best_params = state.params
+            if ckpt_dir is not None and (epoch + 1) % ckpt_every == 0:
+                self._save_resume(ckpt_dir, state, key, epoch, best_loss,
+                                  best_epoch, best_params)
             if epoch - tc.early_stop > best_epoch:
                 break
         state = TrainState(best_params, state.opt_state, state.step)

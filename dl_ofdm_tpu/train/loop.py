@@ -18,6 +18,7 @@ reported as a metric (`SURVEY.md` section 7.3).
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 from typing import Any, Callable, Optional
 
@@ -203,14 +204,49 @@ class Trainer:
             snapped *= 2
         return max(self.batch_frames, snapped // 2 if snapped > target else snapped)
 
+    # -- crash-resume plumbing (shared with EqualizerTrainer.fit) ------------
+    def _maybe_resume(self, ckpt_dir, state, key):
+        """Restore a mid-run resume payload from `<ckpt_dir>/resume` if one
+        exists; returns (state, key, start_epoch, best_loss, best_epoch,
+        best_params, resumed)."""
+        from dl_ofdm_tpu.train import checkpoint as ckpt
+        rp = None if ckpt_dir is None else os.path.join(ckpt_dir, "resume")
+        if rp is None or not ckpt.has_resume(rp):
+            return state, key, 0, float("inf"), 0, state.params, False
+        payload = ckpt.restore_resume(rp, state, key)
+        cur = payload["cursor"]
+        self.batch_frames = int(cur["batch_frames"])
+        return (payload["state"], jnp.asarray(payload["key"]),
+                int(cur["epoch"]) + 1, float(cur["best_loss"]),
+                int(cur["best_epoch"]), payload["best_params"], True)
+
+    def _save_resume(self, ckpt_dir, state, key, epoch, best_loss,
+                     best_epoch, best_params):
+        from dl_ofdm_tpu.train import checkpoint as ckpt
+        ckpt.save_resume(os.path.join(ckpt_dir, "resume"), state=state,
+                         key=key, epoch=epoch, best_loss=best_loss,
+                         best_epoch=best_epoch, best_params=best_params,
+                         batch_frames=self.batch_frames)
+
     # -- epoch driver (mirrors reference epoch/early-stop protocol) ----------
     def fit(self, seed: int = None, max_epochs: int = None,
             log_fn=print, grow_batch: bool = True,
             dump_constellations: bool = False,
-            init_state: "TrainState" = None) -> tuple[TrainState, dict]:
+            init_state: "TrainState" = None,
+            ckpt_dir: str = None, ckpt_every: int = 50) -> tuple[TrainState, dict]:
         """`init_state` warm-starts from a restored checkpoint (resume
         semantics the reference gets via `--load_model`,
-        `ofdmreceiver_np.py:197-203`)."""
+        `ofdmreceiver_np.py:197-203`).
+
+        `ckpt_dir` enables crash-resumable training: a full resume payload
+        (state + PRNG key + epoch/best cursors + batch size) is written to
+        `<ckpt_dir>/resume` every `ckpt_every` epochs and picked up
+        automatically by the next `fit` with the same `ckpt_dir` — the
+        trajectory after resume is bit-identical to an uninterrupted run.
+        The reference saves its best checkpoint every epoch
+        (`ofdmreceiver_np.py:268-272`); epochs here are ~100x shorter
+        wall-clock, so an every-epoch write would dominate the loop —
+        `ckpt_every` bounds the loss window instead."""
         import numpy as np
         tc = self.tc
         seed = tc.seed if seed is None else seed
@@ -218,9 +254,12 @@ class Trainer:
         key = jax.random.PRNGKey(seed)
         key, k0 = jax.random.split(key)
         state = self.init_state(k0) if init_state is None else init_state
-        best_loss, best_epoch, best_params = np.inf, 0, state.params
+        state, key, start_epoch, best_loss, best_epoch, best_params, res = \
+            self._maybe_resume(ckpt_dir, state, key)
+        if res:
+            log_fn(f"resumed from {ckpt_dir}/resume at epoch {start_epoch}")
         history = []
-        for epoch in range(max_epochs):
+        for epoch in range(start_epoch, max_epochs):
             steps_per_epoch = max(1, tc.frames_per_epoch(self.cfg.nsymbol) // self.batch_frames)
             snr = jnp.full((self.batch_frames,), tc.snr, jnp.float32)
             losses = []
@@ -248,6 +287,9 @@ class Trainer:
             if epoch_loss < best_loss:
                 best_loss, best_epoch = epoch_loss, epoch
                 best_params = state.params
+            if ckpt_dir is not None and (epoch + 1) % ckpt_every == 0:
+                self._save_resume(ckpt_dir, state, key, epoch, best_loss,
+                                  best_epoch, best_params)
             if epoch - tc.early_stop > best_epoch:
                 break
         state = TrainState(best_params, state.opt_state, state.step)

@@ -312,3 +312,34 @@ def test_pallas_bf16_path_matches_xla_bf16_path():
         assert a.dtype == jnp.float32 and b.dtype == jnp.float32
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-2, atol=5e-2)
+
+
+def test_zf_equalize_restores_amplitude():
+    """opt-12 extension (EQUALIZER_REGISTRY[12]): with a perfect channel
+    estimate, zero-forcing equalization recovers the transmitted symbols
+    (amplitude included) while the reference's phase-only division
+    (`dev/py/model.py:430-434`) leaves the |H| amplitude distortion —
+    the structural cause of the 16QAM-over-fading BER floor."""
+    from dl_ofdm_tpu.models.equalizers import equalize_iq
+    from dl_ofdm_tpu.ops import cfloat
+
+    rng = np.random.default_rng(7)
+    b, s, k = 3, 7, 64
+    x = rng.normal(size=(b, s, k, 2)).astype(np.float32)       # tx symbols
+    h = rng.normal(size=(b, 1, k, 2)).astype(np.float32) * 2.0  # channel
+    h = np.broadcast_to(h, (b, s, k, 2))
+    y = np.asarray(cfloat.cmul_iq(jnp.asarray(x), jnp.asarray(h)))
+
+    # scaled perfect estimate: learned chest is only defined up to scale
+    chest = jnp.asarray(0.37 * h)
+    zf = np.asarray(equalize_iq(jnp.asarray(y), chest, "zf"))
+    # zf output == x up to one GLOBAL per-batch scale (the RMS normalizer)
+    scale = np.sum(zf * x, axis=(1, 2, 3)) / np.sum(x * x, axis=(1, 2, 3))
+    rel = np.linalg.norm(zf - scale[:, None, None, None] * x, axis=-1) / (
+        np.linalg.norm(x, axis=-1) * np.abs(scale[:, None, None]) + 1e-9)
+    assert np.median(rel) < 0.05   # deep fades excepted (bounded inverse)
+
+    ph = np.asarray(equalize_iq(jnp.asarray(y), chest, "phase"))
+    # phase-only: per-subcarrier amplitude error |H| remains
+    amp_ratio = np.linalg.norm(ph, axis=-1) / (np.linalg.norm(x, axis=-1) + 1e-9)
+    assert np.std(amp_ratio) > 0.5
