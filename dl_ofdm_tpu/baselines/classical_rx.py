@@ -163,4 +163,16 @@ def run_benchmark(plan: SubcarrierPlan, channel: str, eq_idx: int,
     os.makedirs(save_dir, exist_ok=True)
     path = os.path.join(save_dir, name)
     np.savetxt(path, ber_all, delimiter=",")
+    # SER artifact parity: MATLAB stores berofdm_all AND serofdm_all in the
+    # .mat next to the BER csv (`OFDM_Benchmark_dev.m:454-458,474-476`);
+    # also write the SER as a same-schema csv for toolless inspection.
+    np.savetxt(os.path.join(save_dir, "SER" + name[3:]), ser_all,
+               delimiter=",")
+    try:
+        from scipy.io import savemat
+        savemat(path[:-4] + ".mat",
+                {"berofdm_all": ber_all, "serofdm_all": ser_all,
+                 "mat_name": name[:-4] + ".mat"})
+    except ImportError:  # scipy is in the image; guard for minimal installs
+        pass
     return ber_all, ser_all, path

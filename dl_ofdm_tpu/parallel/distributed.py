@@ -33,15 +33,28 @@ def initialize_multihost(coordinator: Optional[str] = None,
             pass  # single-process
 
 
+def weak_scaling_efficiency(steps_per_sec: dict[int, float]) -> dict[int, float]:
+    """Weak-scaling efficiency from a {n_devices: steps/s} rate profile.
+
+    Under weak scaling the GLOBAL batch grows with n (per-device work is
+    constant), so the ideal step rate is flat across widths: efficiency at
+    width n is rate(n) / rate(smallest measured width).  (Per-device
+    throughput in samples/s/device is then eff * base_rate * samples/device.)
+    """
+    if not steps_per_sec:
+        return {}
+    base = steps_per_sec[min(steps_per_sec)]
+    return {n: r / base for n, r in steps_per_sec.items()}
+
+
 def scaling_efficiency(make_step, make_args, device_counts=(1, 2, 4, 8),
-                       iters: int = 10, log_fn=print) -> dict[int, float]:
+                       iters: int = 10, log_fn=print
+                       ) -> tuple[dict[int, float], dict[int, float]]:
     """Measure step rate at several mesh widths.
 
     `make_step(n_devices)` returns a jitted step closure; `make_args(n)`
-    its (sharded) inputs.  Returns {n: steps_per_sec} (multiply by your
-    per-step sample count for throughput).  The printed efficiency assumes
-    constant per-device work across widths (weak scaling): make_args should
-    scale the global batch with n.
+    its (sharded) inputs, with the GLOBAL batch scaled by n (weak scaling).
+    Returns ({n: steps_per_sec}, {n: weak_scaling_efficiency}).
     """
     from dl_ofdm_tpu.utils.timing import bench_steps, measure_fence_cost
 
@@ -57,8 +70,7 @@ def scaling_efficiency(make_step, make_args, device_counts=(1, 2, 4, 8),
         dt = bench_steps(lambda i: step(*args), iters=iters,
                          fence_cost=fence_cost)
         results[n] = 1.0 / dt
-        base = results[min(results)]
-        eff = results[n] / (base * n / min(results))
+        eff = weak_scaling_efficiency(results)[n]
         log_fn(f"{n} devices: {dt*1e3:.2f} ms/step, "
                f"scaling efficiency {eff*100:.1f}%")
-    return results
+    return results, weak_scaling_efficiency(results)

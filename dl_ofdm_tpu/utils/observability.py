@@ -30,17 +30,40 @@ def dump_constellation(token: str, tx_iq, rx_iq, limit: int = 2048,
 
 
 class Throughput:
-    """Per-stage samples/s counter: `with tp.stage('channel', n_samples): ...`"""
+    """Per-stage samples/s counter: `with tp.stage('io', n) as s: s.fence(out)`.
+
+    Device-work stages MUST hand their output to `s.fence(out)` before the
+    block closes: on the tunneled axon backend, wall-clock without a
+    data-dependent device->host fetch measures host dispatch rate only and
+    inflates throughput 10-60x (see utils/timing.py).  Stages that never call
+    `fence` are recorded under a `name+'(host)'` key so dispatch-only numbers
+    can't masquerade as device throughput.
+    """
 
     def __init__(self):
         self.totals: dict[str, float] = {}
         self.samples: dict[str, int] = {}
 
+    class _Stage:
+        __slots__ = ("fenced",)
+
+        def __init__(self):
+            self.fenced = False
+
+        def fence(self, out) -> None:
+            """Block until `out` is actually computed (d2h fetch)."""
+            from dl_ofdm_tpu.utils.timing import d2h_fence
+            d2h_fence(out)
+            self.fenced = True
+
     @contextlib.contextmanager
     def stage(self, name: str, n_samples: int):
+        s = self._Stage()
         t0 = time.perf_counter()
-        yield
+        yield s
         dt = time.perf_counter() - t0
+        if not s.fenced:
+            name = name + "(host)"
         self.totals[name] = self.totals.get(name, 0.0) + dt
         self.samples[name] = self.samples.get(name, 0) + n_samples
 

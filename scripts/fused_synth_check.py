@@ -104,6 +104,10 @@ def main():
           f"{final_ber:.4f}")
     assert final_ber < 0.05, "fused-synth training failed to learn"
 
+    if "--validate-only" in sys.argv:   # pytest chip-path mode: skip timing
+        print("VALIDATION OK (timing skipped)")
+        return
+
     # ---- interleaved timing -------------------------------------------------
     fence = measure_fence_cost()
     key = jax.random.PRNGKey(0)

@@ -7,6 +7,8 @@ only hardware-only residue is the pltpu PRNG plumbing (validated on the chip
 by scripts/fused_synth_check.py — the Mosaic PRNG returns zeros under the
 Pallas interpreter, so it cannot be exercised here).
 """
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -260,3 +262,28 @@ def test_trainer_uses_fused_synth_only_when_eligible():
     t5 = Trainer(OFDMConfig(nbits=1, nfft=512), TrainConfig(batch_size=512),
                  channel="ETU")
     assert t5._fused_synth_spec is None
+
+
+@pytest.mark.tpu
+@pytest.mark.skipif(os.environ.get("RUN_TPU_TESTS") != "1",
+                    reason="chip-path test: set RUN_TPU_TESTS=1 with the TPU "
+                           "free (a second axon process hangs while another "
+                           "holds the chip)")
+def test_fused_synthesize_on_chip():
+    """Runs the hardware validation of the fused Pallas synthesize kernel
+    (scripts/fused_synth_check.py) in a SUBPROCESS so the chip-backend init
+    cannot collide with this CPU-pinned test session.  Keeps the Mosaic
+    lowering / on-chip PRNG path covered by the suite whenever hardware is
+    present (the in-process tests pin the math via the interpreter-mode
+    emulator, where the PRNG returns zeros — `ops/fused_synth.py:44-47`)."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "fused_synth_check.py"),
+         "--validate-only"],
+        capture_output=True, text=True, timeout=1800, env=env, cwd=repo)
+    assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]

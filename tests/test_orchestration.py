@@ -115,14 +115,24 @@ class TestRunnerResume:
 
 class TestObservability:
     def test_throughput_counter(self):
+        """Fenced stages report under their own name; unfenced (dispatch-
+        only) stages are quarantined under '<name>(host)' — on the axon
+        backend un-fenced wall-clock measures dispatch rate, not device
+        throughput (utils/timing.py)."""
+        import jax.numpy as jnp
+
         from dl_ofdm_tpu.utils.observability import Throughput
         tp = Throughput()
-        with tp.stage("channel", 1000):
-            pass
-        with tp.stage("channel", 500):
+        out = jnp.ones((4,)) * 2.0
+        with tp.stage("channel", 1000) as s:
+            s.fence(out)
+        with tp.stage("channel", 500) as s:
+            s.fence(out)
+        with tp.stage("host_prep", 100):
             pass
         rep = tp.report()
         assert rep["channel"] > 0 and tp.samples["channel"] == 1500
+        assert "host_prep" not in rep and rep["host_prep(host)"] > 0
 
     def test_constellation_dump_schema(self, tmp_path):
         from dl_ofdm_tpu.utils.observability import dump_constellation
