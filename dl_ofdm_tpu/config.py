@@ -77,6 +77,8 @@ class TrainConfig:
     double_softmax: bool = False   # reproduce reference quirk of CE on softmaxed
                                    # outputs (ofdmreceiver_np.py:155-159); the
                                    # default trains on true logits.
+    grad_clip: float = 0.0         # optax.clip_by_global_norm when > 0
+                                   # (extension; the reference has no clipping)
     curriculum_offset: Optional[float] = None  # dB shift of the equalizer-stage
                                    # SNR curriculum grid; None = auto
                                    # (+2.5 dB per extra modulation bit,

@@ -51,6 +51,8 @@ class EqSpec:
                                   # structure, `model.py:1337-1360,262-298`)
     eq_div: str = "phase"         # 'phase' (reference, conj(H)/|H|) | 'zf'
                                   # (extension: conj(H)/|H|^2 zero-forcing)
+    zf_eps: float = 1e-2          # ZF inverse regularizer (bounds 1/|H|^2)
+    zf_stopgrad_denom: bool = False  # block the explosive d(1/|H|^2) gradient
 
 
 EQUALIZER_REGISTRY: dict[int, EqSpec] = {
@@ -89,21 +91,28 @@ EQUALIZER_REGISTRY: dict[int, EqSpec] = {
 
 
 def equalize_iq(input_freq: jnp.ndarray, chest_iq: jnp.ndarray,
-                eq_div: str) -> jnp.ndarray:
+                eq_div: str, zf_eps: float = 1e-2,
+                zf_stopgrad_denom: bool = False) -> jnp.ndarray:
     """Apply the channel estimate to the frequency-domain input (IQ pairs).
 
     'phase': reference parity, eq = Y * conj(H)/|H| (`dev/py/model.py:430-434`)
     — corrects phase only, leaving the amplitude distortion |H| in place.
-    'zf': extension (opt 12), eq = Y * conj(Hn)/(|Hn|^2 + 1e-2) with Hn the
+    'zf': extension (opt 12), eq = Y * conj(Hn)/(|Hn|^2 + zf_eps) with Hn the
     RMS-normalized estimate — true zero-forcing, scale-invariant in the
-    learned chest magnitude, inverse bounded (~10x) in deep fades.
+    learned chest magnitude, inverse bounded in deep fades.
+    `zf_stopgrad_denom` blocks the gradient through the 1/(|H|^2+eps) factor
+    (it explodes as |H|->0 and can destabilize early training); the estimate
+    still learns through the conj(H) numerator and the phase path.
     """
     if eq_div == "zf":
+        import jax
         rms = jnp.sqrt(jnp.mean(jnp.sum(chest_iq**2, axis=-1),
                                 axis=(1, 2), keepdims=True))[..., None]
         chest_n = chest_iq / (rms + 1e-12)
-        h_norm = cfloat.conj_iq(chest_n) / (
-            jnp.sum(chest_n**2, axis=-1, keepdims=True) + 1e-2)
+        denom = jnp.sum(chest_n**2, axis=-1, keepdims=True) + zf_eps
+        if zf_stopgrad_denom:
+            denom = jax.lax.stop_gradient(denom)
+        h_norm = cfloat.conj_iq(chest_n) / denom
     elif eq_div == "phase":
         h_norm = cfloat.conj_iq(chest_iq) / (
             cfloat.abs_iq(chest_iq, eps=1e-24)[..., None] + 1e-12)
@@ -187,7 +196,8 @@ class Equalizer(nn.Module):
 
         # -- equalization (see equalize_iq: 'phase' = reference parity,
         # 'zf' = opt-12 zero-forcing extension) -----------------------------
-        eq_freq_iq = equalize_iq(input_freq, chest_iq, spec.eq_div)
+        eq_freq_iq = equalize_iq(input_freq, chest_iq, spec.eq_div,
+                                 spec.zf_eps, spec.zf_stopgrad_denom)
 
         # -- autocorrelation feature ---------------------------------------
         feats = []

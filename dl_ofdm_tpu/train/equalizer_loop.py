@@ -39,8 +39,8 @@ class EqualizerTrainer(Trainer):
     def __init__(self, cfg: OFDMConfig, tc: TrainConfig,
                  channel: str = "mixRayleigh", mobile: bool = False,
                  mix: Optional[bool] = None,
-                 pretrained_rx: Any = None):
-        spec = EQUALIZER_REGISTRY[tc.opt]
+                 pretrained_rx: Any = None, eq_spec: Any = None):
+        spec = EQUALIZER_REGISTRY[tc.opt] if eq_spec is None else eq_spec
         from dl_ofdm_tpu.ofdm.plan import build_plan
         plan_probe = build_plan(cfg)
         model = EqualizedReceiver(

@@ -61,7 +61,10 @@ def make_optimizer(tc: TrainConfig) -> optax.GradientTransformation:
     schedule = optax.exponential_decay(
         init_value=tc.init_learning, transition_steps=tc.lr_decay_steps,
         decay_rate=tc.lr_decay_rate, staircase=True)
-    return optax.adam(learning_rate=schedule)
+    opt = optax.adam(learning_rate=schedule)
+    if tc.grad_clip > 0:
+        opt = optax.chain(optax.clip_by_global_norm(tc.grad_clip), opt)
+    return opt
 
 
 class Trainer:

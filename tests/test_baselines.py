@@ -258,3 +258,98 @@ def test_run_benchmark_mods_override_fills_schema_rows(tmp_path):
     with pytest.raises(ValueError, match="tag"):
         run_benchmark(plan, "EVA", 1, n_frames=60, snrs=(10,), mods=(16,),
                       save_dir=str(tmp_path))
+
+
+class TestLMMSEOracle:
+    """VERDICT round-1 item 2: pin the high-SNR fading behavior of the
+    LMMSE-family estimators (eq 4 ideal, 7 ALMMSE, 10 fast) at 8/16QAM
+    against a NumPy oracle implementing the LITERAL MATLAB math — dense
+    Rhh matrices and np.linalg.inv per symbol, exactly
+    `/root/reference/dev/m/OFDM_Benchmark_dev.m:319-322,342,360-404` —
+    on identical channel/noise realizations.  Agreement proves the
+    pathological-looking extension curves (8/16QAM floors for eq 4, BER
+    rising with SNR for eq 10) are faithful artifacts of the MATLAB
+    estimator math, not implementation bugs; see runs/RESULTS.md."""
+
+    @staticmethod
+    def _to_c(a):
+        a = np.asarray(a)
+        return a[..., 0] + 1j * a[..., 1]
+
+    @staticmethod
+    def _oracle_gls(eq_idx, hls_c, g_c, snr_lin, beta, wfast_c=None):
+        b, s, k = g_c.shape
+        c = beta / snr_lin
+        eye = np.eye(k)
+        gls = np.zeros_like(g_c)
+        for j in range(b):
+            if eq_idx == 4:     # per-symbol ideal LMMSE, Rhh = H H'
+                for ii in range(s):
+                    h = g_c[j, ii][:, None]
+                    rhh = h @ h.conj().T
+                    w = rhh @ np.linalg.inv(rhh + c * eye)
+                    gls[j, ii] = w @ hls_c[j, ii]
+            elif eq_idx == 7:   # approximate LMMSE, Rhh = hbar hbar'/S
+                hbar = hls_c[j].mean(axis=0)
+                rhh = np.outer(hbar, hbar.conj()) / s
+                w = rhh @ np.linalg.inv(rhh + c * eye)
+                gls[j, :] = (w @ hbar)[None, :]
+            elif eq_idx == 10:  # fast LMMSE, precomputed long-term W
+                for ii in range(s):
+                    gls[j, ii] = wfast_c @ hls_c[j, ii]
+        return gls
+
+    @pytest.mark.parametrize("eq_idx,m_order", [(4, 16), (4, 8), (7, 16),
+                                                (10, 16), (10, 8)])
+    def test_estimate_matches_matlab_oracle(self, eq_idx, m_order):
+        snr_db = 30.0
+        plan = build_plan(OFDMConfig(nbits=1))
+        ctx = get_context(plan, "EPA")
+        link = MatlabLink(plan, m_order, "EPA", False)
+        beta = E.BETAS[m_order]
+        snr_lin = 10.0 ** (snr_db / 10.0)
+        key = jax.random.PRNGKey(0)
+        k1, k2, k3 = jax.random.split(key, 3)
+        b = 64
+        tx_idx, tx_wave = link.transmit(k1, b)
+        ch = link.fade(k2, tx_wave)
+        y = link.awgn_measured(k3, ch.y, snr_db)
+        rx_freq = link.rx_front(y)
+        hhat = link.pilot_ls(rx_freq)
+        hls = E._interp_grid(ctx.a_spline, hhat, plan.nsymbol, plan.nfft)
+
+        w_prior = None
+        wfast_c = None
+        if eq_idx == 10:
+            w_prior = E.precompute_longterm_w(ch.g, beta, snr_lin)
+            wfast_c = self._to_c(w_prior)
+        g_est, _ = E.estimate(eq_idx, ctx, rx_freq, hhat, ch.g, snr_lin,
+                              beta, w_prior=w_prior, y_time=y)
+
+        gls_oracle = self._oracle_gls(eq_idx, self._to_c(hls),
+                                      self._to_c(ch.g), snr_lin, beta,
+                                      wfast_c)
+        # f32 framework vs f64 oracle: a few % relative on the smallest
+        # entries of ill-conditioned solves; BER equality below is the
+        # functional check
+        np.testing.assert_allclose(self._to_c(g_est), gls_oracle,
+                                   rtol=5e-2, atol=2e-3)
+
+        # same-realization BER equality after Rx./Gls + qamdemod
+        d = np.abs(gls_oracle) ** 2 + 1e-12
+        eq_oracle = self._to_c(rx_freq) * gls_oracle.conj() / d
+        eq_o_iq = jnp.asarray(
+            np.stack([eq_oracle.real, eq_oracle.imag], -1), jnp.float32)
+        rx_o = link.demodulate(eq_o_iq)
+        d2 = cfloat.abs2_iq(g_est)[..., None] + 1e-12
+        eq_fw = cfloat.cmul_iq(rx_freq, cfloat.conj_iq(g_est)) / d2
+        rx_f = link.demodulate(eq_fw)
+        be_o = int(link.count_errors(tx_idx, rx_o)[0])
+        be_f = int(link.count_errors(tx_idx, rx_f)[0])
+        total = tx_idx.size * int(np.log2(m_order))
+        assert abs(be_o - be_f) <= max(4, 0.02 * max(be_o, 1)), (
+            f"oracle BER {be_o/total:.4f} vs framework {be_f/total:.4f}")
+        # document the verified high-SNR behavior: ideal rank-1 LMMSE at
+        # 16QAM/30dB over fading keeps a substantial error floor
+        if eq_idx == 4 and m_order == 16:
+            assert be_o / total > 0.02
