@@ -39,7 +39,8 @@ class EqualizerTrainer(Trainer):
     def __init__(self, cfg: OFDMConfig, tc: TrainConfig,
                  channel: str = "mixRayleigh", mobile: bool = False,
                  mix: Optional[bool] = None,
-                 pretrained_rx: Any = None, eq_spec: Any = None):
+                 pretrained_rx: Any = None, eq_spec: Any = None,
+                 mesh: Any = None):
         spec = EQUALIZER_REGISTRY[tc.opt] if eq_spec is None else eq_spec
         from dl_ofdm_tpu.ofdm.plan import build_plan
         plan_probe = build_plan(cfg)
@@ -51,7 +52,7 @@ class EqualizerTrainer(Trainer):
             keep_cp=cfg.cp, eq_spec=spec,
             compute_dtype=cfg.compute_dtype)
         super().__init__(cfg, tc, channel=channel, mobile=mobile, mix=mix,
-                         model=model)
+                         model=model, mesh=mesh)
         self.pretrained_rx = pretrained_rx
         # freeze everything outside the Equalizer scope
         self._eq_reg_coeff = 1e-3   # `ofdmreceiver_np_mp.py:338`
@@ -76,10 +77,15 @@ class EqualizerTrainer(Trainer):
         params = self.model.init(key, dummy)["params"]
         if self.pretrained_rx is not None:
             params = graft_pretrained(params, self.pretrained_rx)
+        if self.mesh is not None:
+            params = self._shard_state_params(params)
         self._install_optimizer(params)
-        return TrainState(params=params,
-                          opt_state=self.optimizer.init(params),
-                          step=jnp.zeros((), jnp.int32))
+        state = TrainState(params=params,
+                           opt_state=self.optimizer.init(params),
+                           step=jnp.zeros((), jnp.int32))
+        if self.mesh is not None:
+            state = self._place_on_mesh(state)
+        return state
 
     # -- loss with equalizer-stage coefficients and diagnostics --------------
     def _loss_fn(self, params, bits, rx_in, h_freq=None, snr_db=None):
@@ -115,7 +121,9 @@ class EqualizerTrainer(Trainer):
         # chain is not the bottleneck, and the equalized-graph-plus-kernel
         # compile is multi-minute on the tunneled backend (kernel itself is
         # chip-validated standalone: scripts/fused_synth_check.py).
-        if self._use_fused_synth and getattr(self, "fused_curriculum", False):
+        if self.mesh is not None:
+            bits, rx_in, h_freq, noise_pwr = self._synth_mesh(key, snr_db)
+        elif self._use_fused_synth and getattr(self, "fused_curriculum", False):
             from dl_ofdm_tpu.ops.fused_synth import fused_synthesize
             bits, rx_in, noise_pwr, h_freq = fused_synthesize(
                 self._fused_synth_spec, self.batch_frames, key, snr_db,

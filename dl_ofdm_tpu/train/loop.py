@@ -73,7 +73,8 @@ class Trainer:
     def __init__(self, cfg: OFDMConfig, tc: TrainConfig, channel: str = "AWGN",
                  mobile: bool = False, mix: Optional[bool] = None,
                  model: Optional[Any] = None,
-                 param_label_fn: Optional[Callable] = None):
+                 param_label_fn: Optional[Callable] = None,
+                 mesh: Optional[Any] = None):
         # reference parity: mix channels apply Doppler only on the designated
         # frames and ONLY when mix is set (`dev/py/radio.py:460`); the
         # reference's mobile flow always constructs the mixed-Doppler channel,
@@ -92,6 +93,17 @@ class Trainer:
         self.optimizer = make_optimizer(tc)
         self.batch_frames = max(1, tc.batch_size // cfg.nsymbol)
         self._grad_mask = None  # set by transfer learning
+        # first-class mesh training (SURVEY §7.2 step 7): the data plane is
+        # shard_mapped over 'dp' with per-device folded keys (same scheme as
+        # the sharded sweep, eval/sweep.py), params/opt state carry the
+        # parallel/mesh.py tp shardings, and XLA inserts the gradient
+        # all-reduce over 'dp' from the shardings (GSPMD).
+        self.mesh = mesh
+        if mesh is not None:
+            dp = mesh.shape["dp"]
+            if self.batch_frames % dp:
+                # round up so every dp shard gets equal frames
+                self.batch_frames += dp - self.batch_frames % dp
         # fused Pallas synthesize (ops/fused_synth.py): eligible for any
         # STATIC channel — single profiles, AWGN passthrough, and the
         # mixRayleigh/mixAll per-frame profile cycles — without Doppler.
@@ -112,6 +124,8 @@ class Trainer:
                 self.plan, profs, cfg.nbits)
         self._use_fused_synth = (
             self._fused_synth_spec is not None
+            and self.mesh is None  # fused kernel is per-device; the mesh
+                                   # path shard_maps the jnp chain instead
             and jax.default_backend() in ("tpu", "axon"))
 
     # -- state ---------------------------------------------------------------
@@ -120,9 +134,56 @@ class Trainer:
             (2, self.plan.nsymbol, self.plan.samples_per_symbol, 2),
             jnp.float32)
         params = self.model.init(key, dummy)["params"]
-        return TrainState(params=params,
-                          opt_state=self.optimizer.init(params),
-                          step=jnp.zeros((), jnp.int32))
+        if self.mesh is not None:
+            params = self._shard_state_params(params)
+        state = TrainState(params=params,
+                           opt_state=self.optimizer.init(params),
+                           step=jnp.zeros((), jnp.int32))
+        if self.mesh is not None:
+            state = self._place_on_mesh(state)
+        return state
+
+    # -- mesh plumbing --------------------------------------------------------
+    def _shard_state_params(self, params):
+        from dl_ofdm_tpu.parallel.mesh import shard_params
+        return shard_params(self.mesh, params)
+
+    def _place_on_mesh(self, tree):
+        """Replicate any leaf still on the default device onto the mesh
+        (params already carry their tp shardings; opt state mirrors them
+        via zeros_like)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        mesh = self.mesh
+
+        def place(x):
+            sh = getattr(x, "sharding", None)
+            if isinstance(sh, NamedSharding) and sh.mesh == mesh:
+                return x
+            return jax.device_put(x, NamedSharding(mesh, P()))
+        return jax.tree.map(place, tree)
+
+    def _synth_mesh(self, key: jax.Array, snr_db: jnp.ndarray,
+                    want_h: bool = False):
+        """Data plane shard_mapped over 'dp': each device synthesizes its own
+        frame shard from a fold_in(axis_index) key (eval/sweep.py scheme).
+        Per-shard batch-norm statistics (the reference normalizes per feed
+        batch; a dp shard IS a feed batch here)."""
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+        mesh = self.mesh
+        dp = mesh.shape["dp"]
+        local = self.batch_frames // dp
+
+        def body(k, snr_local):
+            k = jax.random.fold_in(k, jax.lax.axis_index("dp"))
+            bits, rx_in, h_freq, npwr, _ = self.synthesize(
+                k, local, snr_local)
+            return bits, rx_in, h_freq, jax.lax.pmean(npwr, "dp")
+
+        return shard_map(
+            body, mesh=mesh, in_specs=(P(), P("dp")),
+            out_specs=(P("dp"), P("dp"), P("dp"), P()),
+            check_rep=False)(key, snr_db)
 
     # -- data pipeline (on device) ------------------------------------------
     def synthesize(self, key: jax.Array, n_frames: int, snr_db: jnp.ndarray,
@@ -166,7 +227,9 @@ class Trainer:
     @partial(jax.jit, static_argnums=0)
     def train_step(self, state: TrainState, key: jax.Array,
                    snr_db: jnp.ndarray):
-        if self._use_fused_synth:
+        if self.mesh is not None:
+            bits, rx_in, _, noise_pwr = self._synth_mesh(key, snr_db)
+        elif self._use_fused_synth:
             bits, rx_in, noise_pwr = fused_synthesize(
                 self._fused_synth_spec, self.batch_frames, key, snr_db)
         else:

@@ -178,3 +178,78 @@ def test_mesh_sharded_ber_sweep_matches_unsharded():
     assert np.all(np.isfinite(r_mesh.ber)) and np.all(np.isfinite(r_mesh.loss))
     np.testing.assert_allclose(r_mesh.ber, r_single.ber, atol=0.06)
     np.testing.assert_allclose(r_mesh.loss, r_single.loss, rtol=0.2)
+
+
+class TestMeshTraining:
+    """First-class mesh training (VERDICT round-1 weak item 7 / SURVEY §7.2
+    step 7): Trainer(mesh=...) shard_maps the data plane over 'dp', shards
+    params by the parallel/mesh.py rules, and must be gradient-equivalent to
+    the single-device step."""
+
+    def _mk(self, mesh=None, batch=112):
+        from dl_ofdm_tpu.config import OFDMConfig, TrainConfig
+        from dl_ofdm_tpu.train.loop import Trainer
+        cfg = OFDMConfig(nbits=1)
+        tc = TrainConfig(snr=5.0, batch_size=batch, msg_length=batch * 2)
+        return Trainer(cfg, tc, channel="mixRayleigh", mesh=mesh)
+
+    def test_sharded_grads_match_single_device(self):
+        import jax
+        import jax.numpy as jnp
+        from dl_ofdm_tpu.parallel.mesh import make_mesh, shard_batch
+
+        mesh = make_mesh(jax.devices(), dp=4, tp=2)
+        tr_s = self._mk()               # single-device oracle
+        tr_m = self._mk(mesh=mesh)
+        key = jax.random.PRNGKey(0)
+        state = tr_s.init_state(key)
+
+        # identical batch through both paths (generated once, unsharded)
+        snr = jnp.full((tr_s.batch_frames,), 5.0, jnp.float32)
+        bits, rx_in, _, _, _ = tr_s.synthesize(jax.random.PRNGKey(1),
+                                               tr_s.batch_frames, snr)
+        g_single = jax.grad(tr_s._loss_fn, has_aux=True)(
+            state.params, bits, rx_in)[0]
+
+        state_m = tr_m.init_state(key)  # same init key -> same values
+        bits_m, rx_m = shard_batch(mesh, (bits, rx_in))
+        g_mesh = jax.jit(jax.grad(tr_m._loss_fn, has_aux=True))(
+            state_m.params, bits_m, rx_m)[0]
+        for a, b in zip(jax.tree.leaves(g_single), jax.tree.leaves(g_mesh)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-5)
+
+    def test_mesh_train_step_and_fit(self):
+        import jax
+        import jax.numpy as jnp
+        from dl_ofdm_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(jax.devices(), dp=8, tp=1)
+        tr = self._mk(mesh=mesh, batch=112)
+        assert tr.batch_frames % 8 == 0
+        state = tr.init_state(jax.random.PRNGKey(0))
+        snr = jnp.full((tr.batch_frames,), 5.0, jnp.float32)
+        state, aux = tr.train_step(state, jax.random.PRNGKey(1), snr)
+        assert np.isfinite(float(aux["loss"]))
+        # loss decreases over a short mesh fit
+        _, info = tr.fit(max_epochs=3, log_fn=lambda *a: None,
+                         grow_batch=False)
+        assert np.isfinite(info["best_loss"])
+
+    def test_mesh_equalizer_step(self):
+        import jax
+        from dl_ofdm_tpu.config import OFDMConfig, TrainConfig
+        from dl_ofdm_tpu.parallel.mesh import make_mesh
+        from dl_ofdm_tpu.train.equalizer_loop import EqualizerTrainer
+        from dl_ofdm_tpu.train.loop import Trainer
+
+        mesh = make_mesh(jax.devices(), dp=4, tp=2)
+        cfg = OFDMConfig(nbits=1)
+        tc = TrainConfig(snr=5.0, batch_size=112, msg_length=224, opt=0)
+        base = Trainer(cfg, tc, channel="AWGN")
+        rx_params = base.init_state(jax.random.PRNGKey(0)).params
+        eq = EqualizerTrainer(cfg, tc, channel="mixRayleigh",
+                              pretrained_rx=rx_params, mesh=mesh)
+        state = eq.init_state(jax.random.PRNGKey(1))
+        state, aux = eq.train_step_curriculum(state, jax.random.PRNGKey(2))
+        assert np.isfinite(float(aux["ce"]))
