@@ -40,6 +40,27 @@ def jakes_frequencies(fd: jnp.ndarray, n_taps: int):
     return fd * base_re, fd * base_im
 
 
+def jakes_gains_from_phases(th_re: jnp.ndarray, th_im: jnp.ndarray,
+                            fd: jnp.ndarray, t: jnp.ndarray,
+                            n_taps: int) -> jnp.ndarray:
+    """Deterministic Jakes gains given the sinusoid phases.
+
+    Shared by the jnp channel path and the fused Pallas synthesize kernel's
+    emulator, so both provably evaluate the same sum-of-sinusoids.
+
+    Args:
+      th_re, th_im: [B, SS, n_taps] uniform(0, 2pi) phases.
+      fd: [B] Doppler shift per frame (Hz); t: [S] symbol times (s).
+    Returns zck: [B, S, n_taps, 2] float32.
+    """
+    f_re, f_im = jakes_frequencies(fd, n_taps)        # [B, SS, n_taps]
+    phase = 2 * np.pi * t[None, :, None, None]        # [1, S, 1, 1]
+    c1 = np.sqrt(1.0 / SS).astype(np.float32)
+    mu_re = c1 * jnp.sum(jnp.cos(phase * f_re[:, None] + th_re[:, None]), axis=2)
+    mu_im = c1 * jnp.sum(jnp.cos(phase * f_im[:, None] + th_im[:, None]), axis=2)
+    return jnp.stack([mu_re, mu_im], axis=-1)         # [B, S, n_taps, 2]
+
+
 def jakes_gains_iq(key: jax.Array, fd: jnp.ndarray, t: jnp.ndarray,
                    n_taps: int) -> jnp.ndarray:
     """Time-varying tap gains as real IQ pairs (TPU-safe, no complex dtype).
@@ -59,12 +80,7 @@ def jakes_gains_iq(key: jax.Array, fd: jnp.ndarray, t: jnp.ndarray,
                                maxval=2 * np.pi, dtype=jnp.float32)
     th_im = jax.random.uniform(ki, (b, SS, n_taps), minval=0.0,
                                maxval=2 * np.pi, dtype=jnp.float32)
-    f_re, f_im = jakes_frequencies(fd, n_taps)        # [B, SS, n_taps]
-    phase = 2 * np.pi * t[None, :, None, None]        # [1, S, 1, 1]
-    c1 = np.sqrt(1.0 / SS).astype(np.float32)
-    mu_re = c1 * jnp.sum(jnp.cos(phase * f_re[:, None] + th_re[:, None]), axis=2)
-    mu_im = c1 * jnp.sum(jnp.cos(phase * f_im[:, None] + th_im[:, None]), axis=2)
-    return jnp.stack([mu_re, mu_im], axis=-1)         # [B, S, n_taps, 2]
+    return jakes_gains_from_phases(th_re, th_im, fd, t, n_taps)
 
 
 def jakes_gains(key: jax.Array, fd: jnp.ndarray, t: jnp.ndarray,

@@ -34,8 +34,18 @@ constants.  Profiles have different FIR lengths and 'same' alignments; the
 kernel unifies them by PRE-SHIFTING each profile's fractional-delay matrix
 so one common alignment offset serves every row (a time shift of the kernel
 equals a column shift of alpha).  AWGN frames inside 'mixAll' are a baked
-delta kernel (`gbias`) with zeroed tap gains.  Doppler (mobile) frames are
-NOT supported — they keep the jnp chain.
+delta kernel (`gbias`) with zeroed tap gains.
+
+Doppler (mobile) frames: the kernel evaluates the Jakes sum-of-sinusoids
+per OFDM symbol (`dev/py/radio.py:387-422` semantics, shared formula with
+`channel/doppler.py`), synthesizes per-symbol FIR kernels, and convolves
+with the reference's per-symbol window (n_taps look-back history, zero
+future — `channel/fir.py::fir_per_symbol_iq` semantics, expressed here as
+per-tap static masks in the unified offset coordinates).  Which frames take
+the Doppler path is a static cycle (`dop_cycle`, period lcm(P, 3|4) from
+`dev/py/radio.py:460,477`), so the block size is chosen divisible by the
+cycle and the selection bakes into per-row 0/1 constants.  Ground-truth H
+becomes per-symbol ([B, S, nfft]) when any Doppler frame exists.
 
 Exactness: identical math to the jnp path except (a) the PRNG streams (TPU
 hardware PRNG + Box-Muller instead of threefry + inverse-CDF: same
@@ -107,6 +117,13 @@ class SynthSpec:                               # (jit static arg; ndarray fields
     hb_r: np.ndarray         # [P, taps, nfft] alpha @ DFT (ground-truth H)
     hb_i: np.ndarray
     hbias_cls: np.ndarray    # [P, nfft] H of the baked delta (passthrough)
+    # Doppler (all empty/zero when mobile=False)
+    mobile: bool = False
+    dop_cycle: np.ndarray = None   # [L] bool: frame i%L takes the Jakes path
+    fd_cls: np.ndarray = None      # [P] Doppler shift per profile class (Hz)
+    t_sym: float = 0.0             # OFDM symbol duration (s)
+    jakes_base_r: np.ndarray = None  # [SS, taps] cos(n_vec + alpha_k)
+    jakes_base_i: np.ndarray = None  # [SS, taps] cos(n_vec - alpha_k)
 
     @property
     def length(self) -> int:
@@ -114,11 +131,23 @@ class SynthSpec:                               # (jit static arg; ndarray fields
 
     @property
     def block(self) -> int:
-        """Block size: multiple of the profile cycle and of the f32 sublane
-        count.  64 covers P in {1, 2, 4, 8}; 8P otherwise (e.g. 80 for
-        mixAll's 5-cycle).  Kept modest: Mosaic compile time explodes for
-        bigger blocks (~190 s at 128 vs ~2 s at 64 for the same grid)."""
+        """Block size: multiple of the profile cycle (and the Doppler cycle
+        when mobile) and of the f32 sublane count.  64 covers P in
+        {1, 2, 4, 8}; otherwise the smallest multiple of lcm(8, cycle) >= 40.
+        Kept modest: Mosaic compile time explodes for bigger blocks (~190 s
+        at 128 vs ~2 s at 64 for the same grid)."""
         p = self.n_classes
+        if self.mobile:
+            # block must also cover the Doppler cycle; the lcm can sit below
+            # 64 (e.g. 48 for mixRayleigh-mobile) — acceptable: sublane
+            # alignment (8) is the hard requirement, 64 only a preference
+            q = int(np.lcm(np.lcm(p, len(self.dop_cycle)), 8))
+            if 64 % q == 0:
+                return 64
+            blk = q
+            while blk < 40:
+                blk *= 2
+            return blk
         if 64 % p == 0:
             return 64
         blk = 8 * p
@@ -128,10 +157,15 @@ class SynthSpec:                               # (jit static arg; ndarray fields
 
 
 def build_synth_spec(plan: SubcarrierPlan, profiles=None,
-                     nbits: int = 1) -> SynthSpec:
+                     nbits: int = 1, fd=None, dop_cycle=None) -> SynthSpec:
     """profiles: a `channel.profiles.TapProfile`, a sequence of them cycled
     per frame (None entries = AWGN passthrough frames), or None for a pure
-    AWGN passthrough channel."""
+    AWGN passthrough channel.
+
+    Doppler: `fd` gives the per-profile-class Doppler shift (Hz; zeros =
+    static) and `dop_cycle` the static frame-index cycle of bools selecting
+    which frames take the Jakes path (RayleighChannel._frame_doppler_mask
+    semantics, already ANDed with fd > 0.1 by the caller)."""
     from dl_ofdm_tpu.ofdm.constellation import _table_np
     from dl_ofdm_tpu.ofdm.tx import _symbol_tx_operator
 
@@ -177,6 +211,21 @@ def build_synth_spec(plan: SubcarrierPlan, profiles=None,
         hb = prof.alpha_matrix.astype(np.complex64) @ dft    # [t_n, nfft]
         hb_r[c_idx, :t_n] = hb.real
         hb_i[c_idx, :t_n] = hb.imag
+    mobile = fd is not None and bool(np.any(np.asarray(fd) > 0.1)) \
+        and dop_cycle is not None and bool(np.any(dop_cycle))
+    jb_r = jb_i = None
+    fd_cls = None
+    cyc = None
+    t_sym = plan.samples_per_symbol / plan.sample_rate
+    if mobile:
+        from dl_ofdm_tpu.channel.doppler import SS
+        k_vec = np.arange(1, taps + 1)
+        n_vec = (np.arange(1, SS + 1).reshape(SS, 1) - 0.5) * np.pi / (4 * SS)
+        alpha_k = k_vec * np.pi / (4 * SS)
+        jb_r = np.cos(n_vec + alpha_k).astype(np.float32)   # [SS, taps]
+        jb_i = np.cos(n_vec - alpha_k).astype(np.float32)
+        fd_cls = np.asarray(fd, np.float32).reshape(p_n)
+        cyc = np.asarray(dop_cycle, bool).reshape(-1)
     return SynthSpec(
         nbits=nbits, nsymbol=plan.nsymbol, sps=plan.samples_per_symbol,
         nfft=nfft, frame_size=plan.frame_size,
@@ -188,7 +237,9 @@ def build_synth_spec(plan: SubcarrierPlan, profiles=None,
         table_i=tuple(float(v) for v in table.imag),
         do_fir=do_fir, n_classes=p_n, taps=taps, fir_u=fir_u, off_u=off_u,
         coeff_cls=coeff, alpha_cls=alpha, gbias_cls=gbias,
-        hb_r=hb_r, hb_i=hb_i, hbias_cls=hbias)
+        hb_r=hb_r, hb_i=hb_i, hbias_cls=hbias,
+        mobile=mobile, dop_cycle=cyc, fd_cls=fd_cls, t_sym=t_sym,
+        jakes_base_r=jb_r, jakes_base_i=jb_i)
 
 
 def _tile_rows(cls_arr: np.ndarray, blk: int) -> np.ndarray:
@@ -291,6 +342,77 @@ def _tap_h(zr, zi, coeff_rows, hb_r, hb_i, hbias_rows, spec: SynthSpec):
     return h_r, h_i
 
 
+def _dop_row_tables(spec: SynthSpec, blk: int):
+    """Per-row Doppler constants: (dop [blk,1] 0/1, fd [blk,1] Hz).
+    Static per block because blk is a multiple of both cycles."""
+    idx = np.arange(blk)
+    cyc = spec.dop_cycle
+    dop = cyc[idx % len(cyc)].astype(np.float32).reshape(blk, 1)
+    fd = spec.fd_cls[idx % spec.n_classes].astype(np.float32).reshape(blk, 1)
+    return dop, fd * dop
+
+
+def _sym_window_masks(spec: SynthSpec) -> np.ndarray:
+    """[fir_u, sps] 0/1: the reference per-symbol window in unified-offset
+    coordinates.  Output position m of a symbol reads x[m + off_u - k]; the
+    read is valid iff -taps <= m + off_u - k < sps (n_taps look-back history,
+    zero future — `channel/fir.py::fir_per_symbol_iq` semantics; the
+    expression is invariant under the kernel pre-shift since both k and off
+    shift together)."""
+    m = np.arange(spec.sps)
+    masks = np.zeros((spec.fir_u, spec.sps), np.float32)
+    for k in range(spec.fir_u):
+        r = m + spec.off_u - k
+        masks[k] = ((r >= -spec.taps) & (r < spec.sps)).astype(np.float32)
+    return masks
+
+
+def _jakes_sym_gains(th_re, th_im, fvec_re, fvec_im, t_s: float,
+                     taps: int):
+    """Per-symbol Jakes gains from flat [B, SS*taps] phase/frequency planes:
+    zck(t_s) = sqrt(1/SS) * sum_n cos(2*pi*t_s*f + theta) — exactly
+    `channel/doppler.py::jakes_gains_from_phases` at one time point, reduced
+    over the sinusoid axis by static slice accumulation (2-D ops only, the
+    layout Mosaic lowers cleanly).  Returns (zr, zi) [B, taps]."""
+    from dl_ofdm_tpu.channel.doppler import SS
+    ar = jnp.cos((2 * np.pi * t_s) * fvec_re + th_re)
+    ai = jnp.cos((2 * np.pi * t_s) * fvec_im + th_im)
+    zr = jax.lax.slice_in_dim(ar, 0, taps, axis=1)
+    zi = jax.lax.slice_in_dim(ai, 0, taps, axis=1)
+    for n in range(1, SS):
+        zr = zr + jax.lax.slice_in_dim(ar, n * taps, (n + 1) * taps, axis=1)
+        zi = zi + jax.lax.slice_in_dim(ai, n * taps, (n + 1) * taps, axis=1)
+    c1 = float(np.sqrt(1.0 / SS))
+    return c1 * zr, c1 * zi
+
+
+def _fir_sym_unified(x_r, x_i, gts_r, gts_i, masks, spec: SynthSpec):
+    """Per-symbol windowed FIR in unified coordinates (emulator side).
+
+    x planes [B, L] (unpadded), per-symbol kernels gts [B, S, fir_u],
+    masks = `_sym_window_masks`.  Returns [B, L] planes."""
+    l = spec.length
+    p = spec.fir_u - 1
+    xp_r = jnp.pad(x_r, ((0, 0), (p, p)))
+    xp_i = jnp.pad(x_i, ((0, 0), (p, p)))
+    segs_r, segs_i = [], []
+    for s in range(spec.nsymbol):
+        y_sr = jnp.zeros((x_r.shape[0], spec.sps), jnp.float32)
+        y_si = jnp.zeros_like(y_sr)
+        for k in range(spec.fir_u):
+            pos = p + s * spec.sps + spec.off_u - k
+            sr = jax.lax.slice_in_dim(xp_r, pos, pos + spec.sps, axis=1)
+            si = jax.lax.slice_in_dim(xp_i, pos, pos + spec.sps, axis=1)
+            hr = gts_r[:, s, k:k + 1]
+            hi = gts_i[:, s, k:k + 1]
+            mk = masks[k:k + 1, :]
+            y_sr = y_sr + (sr * hr - si * hi) * mk
+            y_si = y_si + (sr * hi + si * hr) * mk
+        segs_r.append(y_sr)
+        segs_i.append(y_si)
+    return jnp.concatenate(segs_r, axis=1), jnp.concatenate(segs_i, axis=1)
+
+
 def _fir_same(x_r, x_i, gt_r, gt_i, spec: SynthSpec):
     """np.convolve(x, gt, 'same') per row with the unified pre-shifted
     kernels: static shift-and-accumulate, out[t] = sum_k x[t+off_u-k]*g'[k]
@@ -323,6 +445,8 @@ def _p1_kernel(spec: SynthSpec, blk: int, n_frames: int, want_h: bool,
                seed_ref, std_ref, wr_ref, wi_ref, br_ref, bi_ref,
                coeff_ref, alpha_ref, gbias_ref, hbr_ref, hbi_ref, hbias_ref,
                *refs):
+    if spec.mobile:
+        dopm_ref, fdr_ref, jbr_ref, jbi_ref, maskk_ref, *refs = refs
     if want_h:
         (idx_ref, yr_ref, yi_ref, nr_ref, ni_ref, hr_ref, hi_ref,
          stats_ref, xr_s, xi_s) = refs
@@ -389,8 +513,9 @@ def _p1_kernel(spec: SynthSpec, blk: int, n_frames: int, want_h: bool,
                 ci = zi[:, t:t + 1] * coeff[:, t:t + 1]
                 h_r = h_r + cr * hbr_ref[t] - ci * hbi_ref[t]
                 h_i = h_i + cr * hbi_ref[t] + ci * hbr_ref[t]
-            hr_ref[:] = h_r
-            hi_ref[:] = h_i
+            if not spec.mobile:
+                hr_ref[:] = h_r
+                hi_ref[:] = h_i
         y_r = jnp.zeros((blk, l), jnp.float32)
         y_i = jnp.zeros((blk, l), jnp.float32)
         for k in range(spec.fir_u):
@@ -401,14 +526,74 @@ def _p1_kernel(spec: SynthSpec, blk: int, n_frames: int, want_h: bool,
             hi = gt_i[:, k:k + 1]
             y_r = y_r + sr * hr - si * hi
             y_i = y_i + sr * hi + si * hr
+        if not spec.mobile:
+            yr_ref[:] = y_r
+            yi_ref[:] = y_i
+        else:
+            # --- Doppler frames: per-symbol Jakes gains + windowed FIR -----
+            # theta draws CONTINUE the taps stream (static draws above stay
+            # bitwise identical to the non-mobile kernel)
+            sstaps = spec.jakes_base_r.size
+            thr = (2.0 * np.pi) * _u01(pltpu.bitcast(
+                pltpu.prng_random_bits((blk, sstaps)), jnp.int32))
+            thi = (2.0 * np.pi) * _u01(pltpu.bitcast(
+                pltpu.prng_random_bits((blk, sstaps)), jnp.int32))
+            dopm = dopm_ref[:]                       # [blk, 1] 0/1
+            fvr = fdr_ref[:] * jbr_ref[:]            # [blk, sstaps]
+            fvi = fdr_ref[:] * jbi_ref[:]
+            for s in range(spec.nsymbol):
+                zrs, zis = _jakes_sym_gains(thr, thi, fvr, fvi,
+                                            s * spec.t_sym, spec.taps)
+                # row select: Jakes gains on Doppler rows, static elsewhere
+                zsr = dopm * zrs + (1.0 - dopm) * zr
+                zsi = dopm * zis + (1.0 - dopm) * zi
+                gt_sr = jnp.broadcast_to(gbias_ref[:], (blk, spec.fir_u)) * 1.0
+                gt_si = jnp.zeros((blk, spec.fir_u), jnp.float32)
+                for t in range(spec.taps):
+                    wrt = zsr[:, t:t + 1] * coeff[:, t:t + 1]
+                    wit = zsi[:, t:t + 1] * coeff[:, t:t + 1]
+                    gt_sr = gt_sr + wrt * alpha_ref[t]
+                    gt_si = gt_si + wit * alpha_ref[t]
+                y_sr = jnp.zeros((blk, spec.sps), jnp.float32)
+                y_si = jnp.zeros((blk, spec.sps), jnp.float32)
+                for k in range(spec.fir_u):
+                    pos = p + s * spec.sps + spec.off_u - k
+                    sr = xr_s[:, pos:pos + spec.sps]
+                    si = xi_s[:, pos:pos + spec.sps]
+                    hr = gt_sr[:, k:k + 1]
+                    hi = gt_si[:, k:k + 1]
+                    mk = maskk_ref[k:k + 1, :]
+                    y_sr = y_sr + (sr * hr - si * hi) * mk
+                    y_si = y_si + (sr * hi + si * hr) * mk
+                seg = s * spec.sps
+                ysl = y_r[:, seg:seg + spec.sps]
+                yil = y_i[:, seg:seg + spec.sps]
+                yr_ref[:, seg:seg + spec.sps] = dopm * y_sr + (1 - dopm) * ysl
+                yi_ref[:, seg:seg + spec.sps] = dopm * y_si + (1 - dopm) * yil
+                if want_h:
+                    h_sr = jnp.broadcast_to(hbias_ref[:],
+                                            (blk, spec.nfft)) * 1.0
+                    h_si = jnp.zeros((blk, spec.nfft), jnp.float32)
+                    for t in range(spec.taps):
+                        cr = zsr[:, t:t + 1] * coeff[:, t:t + 1]
+                        ci = zsi[:, t:t + 1] * coeff[:, t:t + 1]
+                        h_sr = h_sr + cr * hbr_ref[t] - ci * hbi_ref[t]
+                        h_si = h_si + cr * hbi_ref[t] + ci * hbr_ref[t]
+                    hseg = s * spec.nfft
+                    hr_ref[:, hseg:hseg + spec.nfft] = \
+                        dopm * h_sr + (1 - dopm) * h_r
+                    hi_ref[:, hseg:hseg + spec.nfft] = \
+                        dopm * h_si + (1 - dopm) * h_i
+            y_r = yr_ref[:]                          # selected planes for
+            y_i = yi_ref[:]                          # the batch statistics
     else:
         y_r = xr_s[:, p:p + l]
         y_i = xi_s[:, p:p + l]
         if want_h:
             hr_ref[:] = jnp.ones((blk, spec.nfft), jnp.float32)
             hi_ref[:] = jnp.zeros((blk, spec.nfft), jnp.float32)
-    yr_ref[:] = y_r
-    yi_ref[:] = y_i
+        yr_ref[:] = y_r
+        yi_ref[:] = y_i
 
     # --- noise stream --------------------------------------------------------
     pltpu.prng_seed(seed_ref[0], _stream_seed(seed_ref, 2 * bid + 1))
@@ -521,6 +706,13 @@ def fused_synthesize(spec: SynthSpec, n_frames: int, key: jax.Array,
               jnp.asarray(_tile_rows(spec.hb_r, blk).transpose(1, 0, 2)),
               jnp.asarray(_tile_rows(spec.hb_i, blk).transpose(1, 0, 2)),
               jnp.asarray(_tile_rows(spec.hbias_cls, blk))]
+    if spec.mobile:
+        dopm, fdrow = _dop_row_tables(spec, blk)
+        sstaps = spec.jakes_base_r.size
+        consts += [jnp.asarray(dopm), jnp.asarray(fdrow),
+                   jnp.asarray(spec.jakes_base_r.reshape(1, sstaps)),
+                   jnp.asarray(spec.jakes_base_i.reshape(1, sstaps)),
+                   jnp.asarray(_sym_window_masks(spec))]
     const_specs = [
         pl.BlockSpec(c.shape, lambda i, nd=c.ndim: (0,) * nd, **mem)
         for c in consts]
@@ -540,10 +732,13 @@ def fused_synthesize(spec: SynthSpec, n_frames: int, key: jax.Array,
         jax.ShapeDtypeStruct((b_pad, l), jnp.float32),
     ]
     if want_h:
-        out_specs += [pl.BlockSpec((blk, spec.nfft), lambda i: (i, 0), **mem),
-                      pl.BlockSpec((blk, spec.nfft), lambda i: (i, 0), **mem)]
-        out_shape += [jax.ShapeDtypeStruct((b_pad, spec.nfft), jnp.float32),
-                      jax.ShapeDtypeStruct((b_pad, spec.nfft), jnp.float32)]
+        # per-symbol ground truth when Doppler frames exist, else one H per
+        # frame broadcast over symbols in the epilogue
+        h_w = spec.nsymbol * spec.nfft if spec.mobile else spec.nfft
+        out_specs += [pl.BlockSpec((blk, h_w), lambda i: (i, 0), **mem),
+                      pl.BlockSpec((blk, h_w), lambda i: (i, 0), **mem)]
+        out_shape += [jax.ShapeDtypeStruct((b_pad, h_w), jnp.float32),
+                      jax.ShapeDtypeStruct((b_pad, h_w), jnp.float32)]
     out_specs.append(pl.BlockSpec((1, 10, l), lambda i: (i, 0, 0), **mem))
     out_shape.append(jax.ShapeDtypeStruct((n_blocks, 10, l), jnp.float32))
 
@@ -577,9 +772,14 @@ def fused_synthesize(spec: SynthSpec, n_frames: int, key: jax.Array,
         n_frames, spec.nsymbol, spec.sps, 2)
     bits = _bits_from_idx(idx[:n_frames], spec.nbits)
     if want_h:
-        h = jnp.stack([hr[:n_frames], hi[:n_frames]], axis=-1)
-        h_freq = jnp.broadcast_to(
-            h[:, None], (n_frames, spec.nsymbol, spec.nfft, 2))
+        if spec.mobile:
+            h_freq = jnp.stack([hr[:n_frames], hi[:n_frames]],
+                               axis=-1).reshape(
+                n_frames, spec.nsymbol, spec.nfft, 2)
+        else:
+            h = jnp.stack([hr[:n_frames], hi[:n_frames]], axis=-1)
+            h_freq = jnp.broadcast_to(
+                h[:, None], (n_frames, spec.nsymbol, spec.nfft, 2))
         return bits, rx, noise_power, h_freq
     return bits, rx, noise_power
 
@@ -596,7 +796,7 @@ def emulate_fused_synthesize(spec: SynthSpec, n_frames: int, key: jax.Array,
     bits from jax.random) for validating the math off-TPU.  `debug=True`
     additionally returns the pre-noise signal and noise planes so tests can
     re-derive rx through the framework's own awgn/batch-norm ops."""
-    kb, kt1, kt2, kn1, kn2 = jax.random.split(key, 5)
+    kb, kt1, kt2, kn1, kn2, kj1, kj2 = jax.random.split(key, 7)
     l = spec.length
     std = (_SQRT_HALF * 10.0 ** (-snr_db.reshape(-1).astype(jnp.float32)
                                  / 20.0)).reshape(n_frames, 1)
@@ -631,6 +831,54 @@ def emulate_fused_synthesize(spec: SynthSpec, n_frames: int, key: jax.Array,
                               jnp.asarray(spec.hb_i[rows]),
                               jnp.asarray(spec.hbias_cls[rows]), spec)
             h = jnp.stack([h_r, h_i], axis=-1)
+        if spec.mobile:
+            # same math as the kernel's Doppler branch, jax.random bits
+            sstaps = spec.jakes_base_r.size
+            thr = (2.0 * np.pi) * _u01(jax.lax.bitcast_convert_type(
+                jax.random.bits(kj1, (n_frames, sstaps), jnp.uint32),
+                jnp.int32))
+            thi = (2.0 * np.pi) * _u01(jax.lax.bitcast_convert_type(
+                jax.random.bits(kj2, (n_frames, sstaps), jnp.uint32),
+                jnp.int32))
+            cyc = spec.dop_cycle
+            dop_np = cyc[np.arange(n_frames) % len(cyc)]
+            dopm = jnp.asarray(dop_np.astype(np.float32))[:, None]
+            fd_np = spec.fd_cls[rows] * dop_np
+            fvr = jnp.asarray(fd_np)[:, None] * \
+                jnp.asarray(spec.jakes_base_r.reshape(1, sstaps))
+            fvi = jnp.asarray(fd_np)[:, None] * \
+                jnp.asarray(spec.jakes_base_i.reshape(1, sstaps))
+            alpha_rows = jnp.asarray(spec.alpha_cls[rows])
+            gbias_rows = jnp.asarray(spec.gbias_cls[rows])
+            gts_r, gts_i = [], []
+            zsel = []
+            for s in range(spec.nsymbol):
+                zrs, zis = _jakes_sym_gains(thr, thi, fvr, fvi,
+                                            s * spec.t_sym, spec.taps)
+                zsr = dopm * zrs + (1.0 - dopm) * zr
+                zsi = dopm * zis + (1.0 - dopm) * zi
+                zsel.append((zsr, zsi))
+                g_sr, g_si = _tap_gt(zsr, zsi, coeff_rows, alpha_rows,
+                                     gbias_rows, spec)
+                gts_r.append(g_sr)
+                gts_i.append(g_si)
+            masks = jnp.asarray(_sym_window_masks(spec))
+            yd_r, yd_i = _fir_sym_unified(
+                x_r, x_i, jnp.stack(gts_r, 1), jnp.stack(gts_i, 1),
+                masks, spec)
+            y_r = dopm * yd_r + (1.0 - dopm) * y_r
+            y_i = dopm * yd_i + (1.0 - dopm) * y_i
+            if want_h:
+                hs = []
+                hb_r_rows = jnp.asarray(spec.hb_r[rows])
+                hb_i_rows = jnp.asarray(spec.hb_i[rows])
+                hbias_rows = jnp.asarray(spec.hbias_cls[rows])
+                for s in range(spec.nsymbol):
+                    zsr, zsi = zsel[s]
+                    hsr, hsi = _tap_h(zsr, zsi, coeff_rows, hb_r_rows,
+                                      hb_i_rows, hbias_rows, spec)
+                    hs.append(jnp.stack([hsr, hsi], axis=-1))
+                h = jnp.stack(hs, axis=1)        # [B, S, nfft, 2]
     else:
         y_r, y_i = x_r, x_i
         if want_h:
@@ -658,8 +906,11 @@ def emulate_fused_synthesize(spec: SynthSpec, n_frames: int, key: jax.Array,
     bits = _bits_from_idx(idx, spec.nbits)
     ret = [bits, rx, noise_power]
     if want_h:
-        ret.append(jnp.broadcast_to(
-            h[:, None], (n_frames, spec.nsymbol, spec.nfft, 2)))
+        if h.ndim == 4:     # mobile: already per-symbol [B, S, nfft, 2]
+            ret.append(h)
+        else:
+            ret.append(jnp.broadcast_to(
+                h[:, None], (n_frames, spec.nsymbol, spec.nfft, 2)))
     if debug:
         ret.append((y_r, y_i, n_r, n_i))
     return tuple(ret)

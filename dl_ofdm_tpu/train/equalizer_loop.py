@@ -40,7 +40,7 @@ class EqualizerTrainer(Trainer):
                  channel: str = "mixRayleigh", mobile: bool = False,
                  mix: Optional[bool] = None,
                  pretrained_rx: Any = None, eq_spec: Any = None,
-                 mesh: Any = None):
+                 mesh: Any = None, freeze_rx: bool = True):
         spec = EQUALIZER_REGISTRY[tc.opt] if eq_spec is None else eq_spec
         from dl_ofdm_tpu.ofdm.plan import build_plan
         plan_probe = build_plan(cfg)
@@ -54,7 +54,10 @@ class EqualizerTrainer(Trainer):
         super().__init__(cfg, tc, channel=channel, mobile=mobile, mix=mix,
                          model=model, mesh=mesh)
         self.pretrained_rx = pretrained_rx
-        # freeze everything outside the Equalizer scope
+        # freeze everything outside the Equalizer scope (reference parity,
+        # `ofdmreceiver_np_mp.py:346-371`); freeze_rx=False is an extension
+        # that fine-tunes the grafted receiver jointly with the equalizer
+        self.freeze_rx = freeze_rx
         self._eq_reg_coeff = 1e-3   # `ofdmreceiver_np_mp.py:338`
         # modulation-aware curriculum shift (see train/curriculum.py); the
         # reference grid (offset 0) is exact parity for its only equalizer
@@ -66,6 +69,11 @@ class EqualizerTrainer(Trainer):
     def _install_optimizer(self, params) -> None:
         """Build the Equalizer-scope-masked optimizer + gradient mask for a
         given param tree (only its structure matters)."""
+        if not self.freeze_rx:
+            from dl_ofdm_tpu.train.loop import make_optimizer
+            self.optimizer = make_optimizer(self.tc)
+            self._grad_mask = None
+            return
         self.optimizer, mask = masked_optimizer(self.tc, params, "Equalizer")
         self._grad_mask = jax.tree.map(
             lambda m: jnp.asarray(1.0 if m else 0.0), mask)

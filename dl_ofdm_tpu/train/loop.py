@@ -104,11 +104,11 @@ class Trainer:
             if self.batch_frames % dp:
                 # round up so every dp shard gets equal frames
                 self.batch_frames += dp - self.batch_frames % dp
-        # fused Pallas synthesize (ops/fused_synth.py): eligible for any
-        # STATIC channel — single profiles, AWGN passthrough, and the
-        # mixRayleigh/mixAll per-frame profile cycles — without Doppler.
-        # Engaged on TPU backends only; the jnp chain stays the oracle
-        # everywhere else.
+        # fused Pallas synthesize (ops/fused_synth.py): covers single
+        # profiles, AWGN passthrough, the mixRayleigh/mixAll per-frame
+        # profile cycles, AND Jakes-Doppler (mobile) frames via the kernel's
+        # per-symbol path.  Engaged on TPU backends only; the jnp chain
+        # stays the oracle everywhere else.
         self._fused_synth_spec = None
         ch = self.channel
         # size gate: the kernel bakes the [frame_size, sps] TX operator pair
@@ -116,12 +116,21 @@ class Trainer:
         # operator the kernel would blow the 16 MB scoped-VMEM budget (and
         # Mosaic compile time grows sharply), so big grids keep the jnp chain
         tx_op_bytes = 2 * 4 * self.plan.frame_size * self.plan.samples_per_symbol
-        if (not ch.has_doppler and cfg.nbits <= 4
-                and tx_op_bytes <= 2 * 2**20):
+        if cfg.nbits <= 4 and tx_op_bytes <= 2 * 2**20:
+            import numpy as _np
             profs = [None if ch._passthrough[i] else p
                      for i, p in enumerate(ch.profiles)]
+            fd = dop_cycle = None
+            if ch.has_doppler:
+                # static Doppler cycle: frame i -> Jakes path iff
+                # _frame_doppler_mask says so; period = lcm(P, 3|4)
+                per = {"mixrayleigh": 3, "mixall": 4}.get(ch.channel, 1)
+                cyc_len = int(_np.lcm(len(ch.profiles), per))
+                dop_cycle = ch._frame_doppler_mask(
+                    cyc_len, ch._frame_profiles(cyc_len))
+                fd = ch._fd_np
             self._fused_synth_spec = build_synth_spec(
-                self.plan, profs, cfg.nbits)
+                self.plan, profs, cfg.nbits, fd=fd, dop_cycle=dop_cycle)
         self._use_fused_synth = (
             self._fused_synth_spec is not None
             and self.mesh is None  # fused kernel is per-device; the mesh

@@ -235,8 +235,8 @@ def test_awgn_passthrough_spec():
 
 
 def test_trainer_uses_fused_synth_only_when_eligible():
-    """Trainer wiring: the fused path must engage only for static single
-    profiles without Doppler/mix and off-TPU must stay on the jnp path."""
+    """Trainer wiring: the fused path covers static profiles, mixes and
+    Doppler; off-TPU (and over the VMEM size gate) stays on the jnp path."""
     from dl_ofdm_tpu.config import TrainConfig
     from dl_ofdm_tpu.train.loop import Trainer
 
@@ -251,11 +251,15 @@ def test_trainer_uses_fused_synth_only_when_eligible():
     assert t2a._fused_synth_spec is not None
     assert t2a._fused_synth_spec.n_classes == 5
     assert t2a._fused_synth_spec.block == 80
+    # Doppler (mobile) channels are covered since round 2 (per-symbol Jakes
+    # path in the kernel); the spec flags mobile and covers the dop cycle
     t3 = Trainer(cfg, TrainConfig(batch_size=512), channel="EVA", mobile=True)
-    assert t3._fused_synth_spec is None
+    assert t3._fused_synth_spec is not None and t3._fused_synth_spec.mobile
     t3a = Trainer(cfg, TrainConfig(batch_size=512), channel="mixRayleigh",
                   mobile=True)
-    assert t3a._fused_synth_spec is None        # Doppler keeps the jnp chain
+    assert t3a._fused_synth_spec is not None and t3a._fused_synth_spec.mobile
+    assert len(t3a._fused_synth_spec.dop_cycle) == 12   # lcm(P=4, every-3rd)
+    assert t3a._fused_synth_spec.block % 12 == 0
     t4 = Trainer(cfg, TrainConfig(batch_size=512), channel="AWGN")
     assert t4._fused_synth_spec is not None
     # big grids keep the jnp chain (VMEM size gate)
@@ -287,3 +291,147 @@ def test_fused_synthesize_on_chip():
          "--validate-only"],
         capture_output=True, text=True, timeout=1800, env=env, cwd=repo)
     assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
+
+
+class TestFusedDoppler:
+    """CPU validation of the fused data plane's Doppler (mobile) extension
+    (VERDICT round-1 item 3): the kernel/emulator shared helpers must equal
+    the jnp channel oracles exactly, and the emulator's mobile statistics
+    must match the RayleighChannel Jakes path."""
+
+    def _mobile_spec(self, channel="etu", nbits=1):
+        from dl_ofdm_tpu.channel.rayleigh import RayleighChannel
+        plan = build_plan(OFDMConfig(nbits=nbits))
+        ch = RayleighChannel(channel=channel, nfft=plan.nfft,
+                             sample_rate=plan.sample_rate, mobile=True,
+                             mix=(channel.startswith("mix")))
+        per = {"mixrayleigh": 3, "mixall": 4}.get(ch.channel, 1)
+        cyc = int(np.lcm(len(ch.profiles), per))
+        dop_cycle = ch._frame_doppler_mask(cyc, ch._frame_profiles(cyc))
+        profs = [None if ch._passthrough[i] else p
+                 for i, p in enumerate(ch.profiles)]
+        spec = fs.build_synth_spec(plan, profs, nbits, fd=ch._fd_np,
+                                   dop_cycle=dop_cycle)
+        return spec, ch, plan
+
+    def test_jakes_sym_gains_match_channel_doppler(self):
+        """_jakes_sym_gains == jakes_gains_from_phases at every symbol time
+        (same phases in, identical gains out)."""
+        from dl_ofdm_tpu.channel.doppler import SS, jakes_gains_from_phases
+
+        spec, ch, plan = self._mobile_spec("etu")
+        b, taps = 6, spec.taps
+        rng = np.random.default_rng(3)
+        th_re = rng.uniform(0, 2 * np.pi, (b, SS, taps)).astype(np.float32)
+        th_im = rng.uniform(0, 2 * np.pi, (b, SS, taps)).astype(np.float32)
+        fd = np.full((b,), 300.0, np.float32)
+        t = np.arange(spec.nsymbol, dtype=np.float32) * spec.t_sym
+        want = np.asarray(jakes_gains_from_phases(
+            jnp.asarray(th_re), jnp.asarray(th_im), jnp.asarray(fd),
+            jnp.asarray(t), taps))                    # [B, S, taps, 2]
+
+        fvr = fd[:, None] * spec.jakes_base_r.reshape(1, -1)
+        fvi = fd[:, None] * spec.jakes_base_i.reshape(1, -1)
+        for s in range(spec.nsymbol):
+            zr, zi = fs._jakes_sym_gains(
+                jnp.asarray(th_re.reshape(b, -1)),
+                jnp.asarray(th_im.reshape(b, -1)),
+                jnp.asarray(fvr), jnp.asarray(fvi), s * spec.t_sym, taps)
+            np.testing.assert_allclose(np.asarray(zr), want[:, s, :, 0],
+                                       rtol=1e-5, atol=1e-5)
+            np.testing.assert_allclose(np.asarray(zi), want[:, s, :, 1],
+                                       rtol=1e-5, atol=1e-5)
+
+    def test_fir_sym_unified_matches_channel_fir(self):
+        """The unified-offset per-symbol windowed FIR (pre-shifted kernels,
+        static masks) == fir.fir_per_symbol_iq (unshifted kernels, per-row
+        offsets) on a mixed-profile batch."""
+        from dl_ofdm_tpu.channel import fir
+
+        spec, ch, plan = self._mobile_spec("mixrayleigh")
+        b, s = 8, spec.nsymbol
+        rng = np.random.default_rng(5)
+        x = rng.normal(size=(b, s, spec.sps, 2)).astype(np.float32)
+        rows = np.arange(b) % spec.n_classes
+        offsets = ch._offset_np[rows]
+        max_fir = ch.max_fir
+        h_orig = rng.normal(size=(b, s, max_fir, 2)).astype(np.float32)
+        # zero each row's kernel beyond its profile's true FIR length
+        for i, p in enumerate(rows):
+            h_orig[i, :, ch.profiles[p].n_fir:, :] = 0.0
+        want = np.asarray(fir.fir_per_symbol_iq(
+            jnp.asarray(x), jnp.asarray(h_orig), spec.taps, offsets))
+
+        # pre-shift kernels to the unified offset
+        h_shift = np.zeros((b, s, spec.fir_u, 2), np.float32)
+        for i, p in enumerate(rows):
+            sh = spec.off_u - ch.profiles[p].same_offset
+            nf = ch.profiles[p].n_fir
+            h_shift[i, :, sh:sh + nf, :] = h_orig[i, :, :nf, :]
+        got_r, got_i = fs._fir_sym_unified(
+            jnp.asarray(x[..., 0].reshape(b, -1)),
+            jnp.asarray(x[..., 1].reshape(b, -1)),
+            jnp.asarray(h_shift[..., 0]), jnp.asarray(h_shift[..., 1]),
+            jnp.asarray(fs._sym_window_masks(spec)), spec)
+        np.testing.assert_allclose(
+            np.asarray(got_r).reshape(b, s, spec.sps), want[..., 0],
+            rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(got_i).reshape(b, s, spec.sps), want[..., 1],
+            rtol=1e-4, atol=1e-4)
+
+    def test_emulator_mobile_statistics_match_jnp_chain(self):
+        """Mobile ETU: emulator rx/h statistics match the jnp synthesize
+        chain (different PRNG streams -> statistical comparison)."""
+        from dl_ofdm_tpu.config import TrainConfig
+        from dl_ofdm_tpu.train.loop import Trainer
+
+        cfg = OFDMConfig(nbits=1)
+        tc = TrainConfig(batch_size=4096, snr=10.0)
+        tr = Trainer(cfg, tc, channel="ETU", mobile=True)
+        assert tr._fused_synth_spec is not None
+        spec = tr._fused_synth_spec
+        assert spec.mobile
+        b = 1024
+        snr = jnp.full((b,), 10.0, jnp.float32)
+        bits_e, rx_e, npw_e, h_e = fs.emulate_fused_synthesize(
+            spec, b, jax.random.PRNGKey(0), snr, want_h=True)
+        bits_j, rx_j, h_j, npw_j, _ = tr.synthesize(
+            jax.random.PRNGKey(1), b, snr)
+        # batch-norm'd rx: mean ~0, var ~1/2 on both paths
+        np.testing.assert_allclose(np.asarray(rx_e).mean(), 0.0, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(rx_e).var(), 0.5, atol=5e-3)
+        np.testing.assert_allclose(np.asarray(rx_j).var(), 0.5, atol=5e-3)
+        np.testing.assert_allclose(float(npw_e), float(npw_j), rtol=0.05)
+        # per-symbol ground-truth H: time-varying (Doppler) with matching
+        # power and comparable symbol-to-symbol decorrelation
+        he = np.asarray(h_e)
+        hj = np.asarray(h_j)
+        assert he.shape == hj.shape == (b, spec.nsymbol, spec.nfft, 2)
+        pe = (he ** 2).sum(-1).mean()
+        pj = (hj ** 2).sum(-1).mean()
+        np.testing.assert_allclose(pe, pj, rtol=0.1)
+        dvar_e = np.abs(he[:, 1:] - he[:, :-1]).mean()
+        dvar_j = np.abs(hj[:, 1:] - hj[:, :-1]).mean()
+        assert dvar_e > 1e-3 and dvar_j > 1e-3      # actually time-varying
+        np.testing.assert_allclose(dvar_e, dvar_j, rtol=0.15)
+
+    def test_emulator_mobile_mix_static_rows_match_static_path(self):
+        """mixRayleigh mobile: non-Doppler rows must be bit-identical to the
+        static emulator (same key), Doppler rows must differ."""
+        spec, ch, plan = self._mobile_spec("mixrayleigh")
+        static_spec = fs.build_synth_spec(
+            plan, [None if ch._passthrough[i] else p
+                   for i, p in enumerate(ch.profiles)], 1)
+        b = 48
+        key = jax.random.PRNGKey(9)
+        snr = jnp.full((b,), 8.0, jnp.float32)
+        _, _, _, (ym_r, ym_i, _, _) = fs.emulate_fused_synthesize(
+            spec, b, key, snr, debug=True)
+        _, _, _, (ys_r, ys_i, _, _) = fs.emulate_fused_synthesize(
+            static_spec, b, key, snr, debug=True)
+        dop = spec.dop_cycle[np.arange(b) % len(spec.dop_cycle)]
+        ym = np.asarray(ym_r)
+        ys = np.asarray(ys_r)
+        np.testing.assert_array_equal(ym[~dop], ys[~dop])
+        assert np.abs(ym[dop] - ys[dop]).max() > 1e-4
