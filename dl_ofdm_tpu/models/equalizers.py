@@ -86,7 +86,11 @@ EQUALIZER_REGISTRY: dict[int, EqSpec] = {
     # conj(H)/(|H|^2+eps) on an RMS-normalized channel estimate (true ZF,
     # scale-invariant like the reference's form, inverse bounded at deep
     # fades) — everything else identical to opt 0 for a clean ablation.
-    12: EqSpec(eq_div="zf"),
+    # eps = 0.1 (inverse bounded at ~3x): chip A/B (scripts/diag_zf_chip.py)
+    # showed eps=1e-2 destabilizes early training through the frozen
+    # confident head (CE stuck ~2x above the opt-0 trajectory), while
+    # eps=0.1 both stabilizes it and converges faster than opt 0.
+    12: EqSpec(eq_div="zf", zf_eps=0.1),
 }
 
 

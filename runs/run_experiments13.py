@@ -1,0 +1,108 @@
+"""Phase-13 queue (round 2): retrain the higher-order and mobile equalizer
+arms with the recipe selected by the chip A/B (scripts/diag_zf_chip.py).
+
+A/B results (nbits=4, mixRayleigh, 400 epochs, eval BER@28 dB):
+
+  phase (opt 0, frozen rx)        0.177   — round-1 recipe, the known floor
+  zf-e1 (opt 12 eps 0.1, frozen)  0.123   — stabilized ZF: better + faster
+  zf-sg-clip (stopgrad denom)     0.48    — dead: the inverse carries the
+                                            chest's learning signal
+  phase-joint (freeze_rx=False)   0.0182  — joint receiver fine-tune: 10x
+  zf-e1-joint                     (see log)
+
+The winning recipe ("joint"): equalizer variant opt 12 or 0 per the A/B,
+receiver fine-tuned jointly (extension beyond the reference's frozen-scope
+protocol, `ofdmreceiver_np_mp.py:346-371` — the frozen ultra-confident
+higher-order head is exactly what blocks equalizer learning), with the
+modulation-shifted SNR curriculum.  BPSK static arms keep the round-1
+reference-parity result (frozen, opt 0), which already beats the classical
+bar.
+
+Also completes the classical `_allmod` comparator cells phase 12 did not
+reach before it was stopped (now written with SER + .mat artifacts).
+
+Resume-by-CSV; fits are crash-resumable (.wip resume payloads).
+"""
+import os
+import sys
+import time
+
+import jax
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from run_experiments3 import classical
+from run_experiments8 import RUNS, base_token, ensure_awgn_base, log
+from dl_ofdm_tpu.config import TrainConfig
+from dl_ofdm_tpu.eval.sweep import cross_channel_sweep
+from dl_ofdm_tpu.train import checkpoint as ckpt
+from dl_ofdm_tpu.train.equalizer_loop import EqualizerTrainer
+
+BASE_EPOCHS = {1: 300, 2: 400, 3: 500, 4: 600}
+OPT = int(os.environ.get("P13_OPT", "12"))       # winning variant id
+EPOCHS = int(os.environ.get("P13_EPOCHS", "1000"))
+
+
+def train_equalizer13(nbits: int, mobile: bool = False,
+                      channel: str = "mixRayleigh", opt: int = OPT,
+                      epochs: int = EPOCHS, fused: bool = True):
+    suffix = "_mobile" if mobile else ""
+    snr = 5.0 * nbits
+    token = base_token(nbits, snr, True)
+    done = os.path.join(
+        RUNS, f"Test_DCCN_{token}_Equalizer{opt}_{channel}"
+              f"_test_chan_Custom{suffix}.csv")
+    if os.path.isfile(done):
+        log(f"skip equalizer{suffix} nbits={nbits} opt={opt} (csv exists)")
+        return
+    cfg, token, base_params = ensure_awgn_base(
+        nbits=nbits, snr=snr, epochs=BASE_EPOCHS[nbits])
+    tc = TrainConfig(snr=snr, batch_size=512, max_epoch_num=epochs,
+                     early_stop=250, token=token, save_dir=RUNS, opt=opt)
+    eq = EqualizerTrainer(cfg, tc, channel=channel, mobile=mobile,
+                          pretrained_rx=base_params, freeze_rx=False)
+    if fused and eq._use_fused_synth:
+        eq.fused_curriculum = True
+    name = f"{token}_Equalizer{opt}_{channel}{suffix}"
+    t0 = time.time()
+    state, info = eq.fit(log_fn=lambda *a: None,
+                         ckpt_dir=os.path.join(RUNS, name + ".wip"),
+                         ckpt_every=100)
+    log(f"equalizer{suffix} nbits={nbits} opt={opt} joint: "
+        f"trained best={info['best_epoch']} in {time.time()-t0:.0f}s "
+        f"loss={info['best_loss']:.5f}")
+    ckpt.save(os.path.join(RUNS, name), state)
+
+    def make_trainer(test_chan, mob):
+        return EqualizerTrainer(cfg, tc, channel=test_chan, mobile=mob,
+                                pretrained_rx=base_params)
+
+    cross_channel_sweep(make_trainer, state.params, jax.random.PRNGKey(777),
+                        token, opt, channel, mobile=mobile, save_dir=RUNS,
+                        frames_per_point=30000, batch_frames=3000,
+                        log_fn=lambda *a: None)
+    log(f"equalizer{suffix} nbits={nbits} opt={opt}: sweeps done")
+
+
+if __name__ == "__main__":
+    # 1. higher-order static arms (worst gap first); the jnp chain is fast
+    #    enough here (~0.5 s/epoch) — skip the fused-curriculum compile
+    for nbits in (4, 3, 2):
+        train_equalizer13(nbits=nbits, fused=False)
+    # 2. mobile arms (BPSK mobile currently loses to LS-Spline on ETU;
+    #    8/16QAM mobile floors) — fused Doppler data plane (chip-validated)
+    #    replaces the ~4.3 s/epoch jnp Doppler chain
+    for nbits in (1, 4, 3):
+        train_equalizer13(nbits=nbits, mobile=True)
+    # 3. classical _allmod comparator cells phase 12 didn't reach
+    for chan in ("EPA", "ETU", "EVA"):
+        for eq_idx in (7, 5, 2):
+            classical(chan, eq_idx, mods=(4, 8, 16), tag="_allmod")
+    for eq_idx in (1, 4, 10):
+        classical("EVA", eq_idx, mods=(4, 8, 16), tag="_allmod")
+    for chan in ("EPA", "ETU", "EVA"):
+        classical(chan, 2, mobile=True, mods=(4, 8, 16), tag="_allmod")
+    for eq_idx in (1, 4, 10):
+        classical("EVA", eq_idx, mobile=True, mods=(4, 8, 16), tag="_allmod")
+    log("PHASE13 DONE")

@@ -93,6 +93,41 @@ def main():
           f"(analytic {want:.4f})")
     assert abs(hp - want) < 0.1
 
+    # Doppler (mobile) specs: per-symbol Jakes path (round 2)
+    from dl_ofdm_tpu.config import OFDMConfig as _Cfg
+    from dl_ofdm_tpu.train.loop import Trainer as _Tr
+    from dl_ofdm_tpu.config import TrainConfig as _TC
+    tr_mob = _Tr(_Cfg(nbits=1), _TC(batch_size=4096), channel="ETU",
+                 mobile=True)
+    spec_mob = tr_mob._fused_synth_spec
+    assert spec_mob is not None and spec_mob.mobile
+    check_stats(spec_mob, 2048, 5.0, "ETU-mobile b=2048")
+    # ground-truth H must be per-symbol and actually time-varying, with the
+    # same magnitude/decorrelation statistics as the jnp Jakes chain
+    key = jax.random.PRNGKey(11)
+    snrv = jnp.full((2048,), 5.0)
+    _, _, _, h_k = fs.fused_synthesize(spec_mob, 2048, key, snrv, True)
+    h_k = np.asarray(h_k)
+    assert h_k.shape == (2048, 7, 64, 2)
+    # jnp chain must run under jit on this backend (the TX constellation
+    # table is host-complex; eager jnp.real on it is UNIMPLEMENTED here)
+    h_j = np.asarray(jax.jit(
+        lambda k: tr_mob.synthesize(k, 2048, snrv)[2])(
+            jax.random.PRNGKey(12)))
+    pk, pj = (h_k**2).sum(-1).mean(), (h_j**2).sum(-1).mean()
+    dk = np.abs(h_k[:, 1:] - h_k[:, :-1]).mean()
+    dj = np.abs(h_j[:, 1:] - h_j[:, :-1]).mean()
+    print(f"mobile H: power kernel={pk:.4f} jnp={pj:.4f}; "
+          f"sym-to-sym delta kernel={dk:.5f} jnp={dj:.5f}")
+    np.testing.assert_allclose(pk, pj, rtol=0.1)
+    assert dk > 1e-3
+    np.testing.assert_allclose(dk, dj, rtol=0.15)
+    # mixRayleigh-mobile: 48-block (12-cycle) path compiles + is sane
+    tr_mix = _Tr(_Cfg(nbits=1), _TC(batch_size=4096), channel="mixRayleigh",
+                 mobile=True)
+    check_stats(tr_mix._fused_synth_spec, 2016, 5.0,
+                "mixRayleigh-mobile b=2016 (blk=48)")
+
     # label<->waveform correspondence: a short AWGN fit must learn
     tr = Trainer(OFDMConfig(nbits=1), TrainConfig(batch_size=3584, snr=5.0),
                  channel="AWGN")
