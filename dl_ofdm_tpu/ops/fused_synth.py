@@ -131,23 +131,15 @@ class SynthSpec:                               # (jit static arg; ndarray fields
 
     @property
     def block(self) -> int:
-        """Block size: multiple of the profile cycle (and the Doppler cycle
-        when mobile) and of the f32 sublane count.  64 covers P in
-        {1, 2, 4, 8}; otherwise the smallest multiple of lcm(8, cycle) >= 40.
-        Kept modest: Mosaic compile time explodes for bigger blocks (~190 s
-        at 128 vs ~2 s at 64 for the same grid)."""
+        """Block size: multiple of the profile cycle and of the f32 sublane
+        count.  64 covers P in {1, 2, 4, 8}; 8P otherwise (e.g. 80 for
+        mixAll's 5-cycle).  Kept modest: Mosaic compile time explodes for
+        bigger blocks (~190 s at 128 vs ~2 s at 64 for the same grid) — and
+        hangs outright at 48 rows (measured: the mixRayleigh-mobile
+        12-cycle at blk=48 never finished compiling), which is why the
+        Doppler row mask/fd are STREAMED per-row inputs rather than baked
+        block constants: the block never needs to cover the Doppler cycle."""
         p = self.n_classes
-        if self.mobile:
-            # block must also cover the Doppler cycle; the lcm can sit below
-            # 64 (e.g. 48 for mixRayleigh-mobile) — acceptable: sublane
-            # alignment (8) is the hard requirement, 64 only a preference
-            q = int(np.lcm(np.lcm(p, len(self.dop_cycle)), 8))
-            if 64 % q == 0:
-                return 64
-            blk = q
-            while blk < 40:
-                blk *= 2
-            return blk
         if 64 % p == 0:
             return 64
         blk = 8 * p
@@ -342,14 +334,16 @@ def _tap_h(zr, zi, coeff_rows, hb_r, hb_i, hbias_rows, spec: SynthSpec):
     return h_r, h_i
 
 
-def _dop_row_tables(spec: SynthSpec, blk: int):
-    """Per-row Doppler constants: (dop [blk,1] 0/1, fd [blk,1] Hz).
-    Static per block because blk is a multiple of both cycles."""
-    idx = np.arange(blk)
+def _dop_row_arrays(spec: SynthSpec, n_frames: int, b_pad: int):
+    """Per-row Doppler inputs streamed to the kernel like the SNR std:
+    (dop [b_pad,1] 0/1, fd [b_pad,1] Hz).  Global-frame-index semantics
+    (RayleighChannel._frame_doppler_mask); padded rows take the static path."""
+    idx = np.arange(b_pad)
     cyc = spec.dop_cycle
-    dop = cyc[idx % len(cyc)].astype(np.float32).reshape(blk, 1)
-    fd = spec.fd_cls[idx % spec.n_classes].astype(np.float32).reshape(blk, 1)
-    return dop, fd * dop
+    dop = cyc[idx % len(cyc)].astype(np.float32)
+    dop[n_frames:] = 0.0
+    fd = spec.fd_cls[idx % spec.n_classes].astype(np.float32) * dop
+    return dop.reshape(b_pad, 1), fd.reshape(b_pad, 1)
 
 
 def _sym_window_masks(spec: SynthSpec) -> np.ndarray:
@@ -446,7 +440,9 @@ def _p1_kernel(spec: SynthSpec, blk: int, n_frames: int, want_h: bool,
                coeff_ref, alpha_ref, gbias_ref, hbr_ref, hbi_ref, hbias_ref,
                *refs):
     if spec.mobile:
-        dopm_ref, fdr_ref, jbr_ref, jbi_ref, maskk_ref, *refs = refs
+        # const order: jakes bases + window masks (consts), then the
+        # streamed per-row dop mask / fd planes (inputs after the consts)
+        jbr_ref, jbi_ref, maskk_ref, dopm_ref, fdr_ref, *refs = refs
     if want_h:
         (idx_ref, yr_ref, yi_ref, nr_ref, ni_ref, hr_ref, hi_ref,
          stats_ref, xr_s, xi_s) = refs
@@ -706,13 +702,17 @@ def fused_synthesize(spec: SynthSpec, n_frames: int, key: jax.Array,
               jnp.asarray(_tile_rows(spec.hb_r, blk).transpose(1, 0, 2)),
               jnp.asarray(_tile_rows(spec.hb_i, blk).transpose(1, 0, 2)),
               jnp.asarray(_tile_rows(spec.hbias_cls, blk))]
+    row_inputs = []
+    row_specs = []
     if spec.mobile:
-        dopm, fdrow = _dop_row_tables(spec, blk)
         sstaps = spec.jakes_base_r.size
-        consts += [jnp.asarray(dopm), jnp.asarray(fdrow),
-                   jnp.asarray(spec.jakes_base_r.reshape(1, sstaps)),
+        consts += [jnp.asarray(spec.jakes_base_r.reshape(1, sstaps)),
                    jnp.asarray(spec.jakes_base_i.reshape(1, sstaps)),
                    jnp.asarray(_sym_window_masks(spec))]
+        dopm, fdrow = _dop_row_arrays(spec, n_frames, b_pad)
+        row_inputs = [jnp.asarray(dopm), jnp.asarray(fdrow)]
+        row_specs = [pl.BlockSpec((blk, 1), lambda i: (i, 0), **mem),
+                     pl.BlockSpec((blk, 1), lambda i: (i, 0), **mem)]
     const_specs = [
         pl.BlockSpec(c.shape, lambda i, nd=c.ndim: (0,) * nd, **mem)
         for c in consts]
@@ -748,14 +748,14 @@ def fused_synthesize(spec: SynthSpec, n_frames: int, key: jax.Array,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((blk, 1), lambda i: (i, 0), **mem),
-        ] + const_specs,
+        ] + const_specs + row_specs,
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
         scratch_shapes=[
             pltpu.VMEM((blk, l + 2 * (spec.fir_u - 1) + 2), jnp.float32),
             pltpu.VMEM((blk, l + 2 * (spec.fir_u - 1) + 2), jnp.float32),
         ],
-    )(seeds, std, *consts)
+    )(seeds, std, *consts, *row_inputs)
     if want_h:
         idx, yr, yi, nr, ni, hr, hi, stats = outs
     else:

@@ -259,7 +259,8 @@ def test_trainer_uses_fused_synth_only_when_eligible():
                   mobile=True)
     assert t3a._fused_synth_spec is not None and t3a._fused_synth_spec.mobile
     assert len(t3a._fused_synth_spec.dop_cycle) == 12   # lcm(P=4, every-3rd)
-    assert t3a._fused_synth_spec.block % 12 == 0
+    # the dop cycle is STREAMED per-row, so the block stays compile-friendly
+    assert t3a._fused_synth_spec.block == 64
     t4 = Trainer(cfg, TrainConfig(batch_size=512), channel="AWGN")
     assert t4._fused_synth_spec is not None
     # big grids keep the jnp chain (VMEM size gate)
