@@ -65,6 +65,14 @@ class EqualizerTrainer(Trainer):
         self._snr_offset = (tc.curriculum_offset
                             if tc.curriculum_offset is not None
                             else modulation_offset_db(cfg.nbits))
+        # fused data plane for the curriculum: DEFAULT ON for Doppler
+        # channels, where the jnp chain costs ~4.3 s/epoch vs ~0.8 s fused
+        # (the ~12 min Mosaic first-compile amortizes over any real run);
+        # static channels default off — their jnp chain is ~0.5 s/epoch and
+        # the compile would dominate short runs.  Override via the
+        # `fused_curriculum` attribute either way.
+        self.fused_curriculum = bool(getattr(self.channel, "has_doppler",
+                                             False))
 
     def _install_optimizer(self, params) -> None:
         """Build the Equalizer-scope-masked optimizer + gradient mask for a
@@ -123,12 +131,10 @@ class EqualizerTrainer(Trainer):
     def train_step_curriculum(self, state: TrainState, key: jax.Array):
         ks, key = jax.random.split(key)
         snr_db = sample_snr(ks, self.batch_frames, self._snr_offset)
-        # The fused data plane (incl. in-kernel ground-truth H) supports the
-        # static-mix curriculum, but is OPT-IN here (`fused_curriculum =
-        # True`): at the reference batch (512 -> 73 frames/step) the jnp
-        # chain is not the bottleneck, and the equalized-graph-plus-kernel
-        # compile is multi-minute on the tunneled backend (kernel itself is
-        # chip-validated standalone: scripts/fused_synth_check.py).
+        # Fused data plane (incl. in-kernel ground-truth H): default ON for
+        # Doppler channels, opt-in for static ones (see __init__ — at the
+        # reference batch the static jnp chain is not the bottleneck, while
+        # the mobile jnp chain is ~5x the fused kernel).
         if self.mesh is not None:
             bits, rx_in, h_freq, noise_pwr = self._synth_mesh(key, snr_db)
         elif self._use_fused_synth and getattr(self, "fused_curriculum", False):
