@@ -253,3 +253,37 @@ class TestMeshTraining:
         state = eq.init_state(jax.random.PRNGKey(1))
         state, aux = eq.train_step_curriculum(state, jax.random.PRNGKey(2))
         assert np.isfinite(float(aux["ce"]))
+
+
+@pytest.mark.parametrize("off_mode", ["same", "causal"])
+def test_halo_fir_dma_matches_ppermute(rng, off_mode):
+    """SURVEY §5.8 optional variant: the Pallas make_async_remote_copy ring
+    exchange (interpreter mode on the CPU mesh) must reproduce the ppermute
+    halo path — and hence np.convolve — exactly."""
+    from jax import shard_map
+
+    n_dev = 4
+    # single-axis mesh: the interpreter-mode DMA discharge rule supports
+    # one named axis for LOGICAL device ids (the sp-halo mesh is 1-D anyway)
+    mesh = jax.sharding.Mesh(np.asarray(jax.devices()[:n_dev]), ("dp",))
+    b, l, f = 2, 4 * 40, 9
+    x = (rng.normal(size=(b, l)) + 1j * rng.normal(size=(b, l))).astype(np.complex64)
+    h = (rng.normal(size=(b, f)) + 1j * rng.normal(size=(b, f))).astype(np.complex64)
+    off = (f - 1) // 2 if off_mode == "same" else 0
+
+    def run(exchange):
+        fn = shard_map(
+            lambda xs, hs: halo_fir_same_iq(xs, hs, off, "dp",
+                                            exchange=exchange),
+            mesh=mesh, in_specs=(P(None, "dp", None), P(None, None, None)),
+            out_specs=P(None, "dp", None), check_vma=False)
+        return np.asarray(jax.jit(fn)(jnp.asarray(_iq(x)), jnp.asarray(_iq(h))))
+
+    got_dma = run("dma")
+    got_pp = run("ppermute")
+    np.testing.assert_allclose(got_dma, got_pp, atol=1e-6)
+    for i in range(b):
+        mode_ref = np.convolve(x[i], h[i], mode="full")
+        want = mode_ref[off: off + l]
+        np.testing.assert_allclose(got_dma[i, :, 0] + 1j * got_dma[i, :, 1],
+                                   want, atol=1e-4)
