@@ -108,11 +108,37 @@ def run_point(link: MatlabLink, ctx: E.EstimatorContext, eq_idx: int,
     return bit_err / max(bits, 1), sym_err / max(syms, 1)
 
 
+def export_snr_point_mat(link: MatlabLink, ctx, key: jax.Array,
+                         snr_db: float, n_frames: int, path: str):
+    """Per-SNR waveform export — `save_tx_data` parity
+    (`OFDM_Benchmark_dev.m:460-466`, `parsave(filename, y, txbits, rxbits)`):
+    the noisy time waveform (complex columns), the transmitted bits and the
+    demodulated bits, one .mat per SNR point."""
+    from scipy.io import savemat
+    k1, k2, k3 = jax.random.split(key, 3)
+    tx_idx, tx_wave = link.transmit(k1, n_frames)
+    ch = link.fade(k2, tx_wave)
+    y = link.awgn_measured(k3, ch.y, snr_db)
+    rx_freq = link.rx_front(y)
+    rx_idx = link.demodulate(rx_freq)     # estimator-free (LS path outside)
+    y_np = np.asarray(y)
+    y_c = (y_np[..., 0] + 1j * y_np[..., 1]).reshape(n_frames, -1).T
+    shifts = np.arange(link.nbits - 1, -1, -1)
+
+    def to_bits(idx):
+        return ((np.asarray(idx)[..., None] >> shifts) & 1).reshape(-1, 1)
+
+    savemat(path, {"y": y_c.astype(np.complex64),
+                   "txbits": to_bits(tx_idx).astype(np.uint8),
+                   "rxbits": to_bits(rx_idx).astype(np.uint8)})
+    return path
+
+
 def run_benchmark(plan: SubcarrierPlan, channel: str, eq_idx: int,
                   longcp: bool = True, mobile: bool = False,
                   n_frames: int = 20000, snrs=tuple(range(-10, 31, 5)),
                   seed: int = 0, save_dir: str = ".", log_fn=print,
-                  mods=None, tag: str = ""):
+                  mods=None, tag: str = "", save_tx_data: bool = False):
     """Full sweep for one (channel, estimator); writes the MATLAB-schema CSV.
 
     `mods=None` keeps MATLAB parity (all four modulations for AWGN, BPSK
@@ -144,6 +170,7 @@ def run_benchmark(plan: SubcarrierPlan, channel: str, eq_idx: int,
     ber_all[0] = ser_all[0] = snrs
     ctx = get_context(plan, channel)
     key = jax.random.PRNGKey(seed)
+    mod_names = {2: "BPSK", 4: "QPSK", 8: "8QAM", 16: "16QAM"}
     for m in mods:
         mi = mod_order.index(m)
         link = MatlabLink(plan, m, channel, mobile)
@@ -156,6 +183,16 @@ def run_benchmark(plan: SubcarrierPlan, channel: str, eq_idx: int,
             ser_all[mi + 1, si] = ser
             log_fn(f"{channel}/{E.ESTIMATOR_NAMES[eq_idx]} M={m} "
                    f"SNR={snr}: BER={ber:.6f}")
+            if save_tx_data:
+                mat_dir = os.path.join(save_dir, "mat")
+                os.makedirs(mat_dir, exist_ok=True)
+                cpstr = "" if longcp else "_shortcp"
+                key, km = jax.random.split(key)
+                export_snr_point_mat(
+                    link, ctx, km, float(snr), min(n_frames, 2000),
+                    os.path.join(mat_dir,
+                                 f"ofdm_{channel.lower()}_{mod_names[m]}"
+                                 f"_{int(snr)}dB{cpstr}.mat"))
     mobile_str = "_mobile" if mobile else ""
     cp_str = "" if longcp else "_shortcp"
     name = (f"BER_OFDM_{channel}_{E.ESTIMATOR_NAMES[eq_idx]}_"

@@ -353,3 +353,25 @@ class TestLMMSEOracle:
         # 16QAM/30dB over fading keeps a substantial error floor
         if eq_idx == 4 and m_order == 16:
             assert be_o / total > 0.02
+
+
+def test_save_tx_data_mat_export(tmp_path):
+    """`save_tx_data` parity (`OFDM_Benchmark_dev.m:460-466`): per-SNR
+    `mat/ofdm_<chan>_<mod>_<snr>dB.mat` with y waveform columns + tx/rx
+    bits; at high SNR over AWGN the two bit vectors agree."""
+    from scipy.io import loadmat
+
+    from dl_ofdm_tpu.baselines.classical_rx import run_benchmark
+
+    plan = build_plan(OFDMConfig(nbits=1))
+    run_benchmark(plan, "AWGN", 1, n_frames=64, snrs=(20,),
+                  save_dir=str(tmp_path), log_fn=lambda *a: None,
+                  save_tx_data=True)
+    path = tmp_path / "mat" / "ofdm_awgn_BPSK_20dB.mat"
+    assert path.is_file()
+    mat = loadmat(str(path))
+    n_samp = plan.nsymbol * plan.samples_per_symbol
+    assert mat["y"].shape == (n_samp, 64)
+    assert mat["txbits"].shape == mat["rxbits"].shape
+    agree = (mat["txbits"] == mat["rxbits"]).mean()
+    assert agree > 0.999
