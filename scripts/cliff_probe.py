@@ -31,7 +31,9 @@ from dl_ofdm_tpu.ops.fused_synth import fused_synthesize
 from dl_ofdm_tpu.train.loop import Trainer, TrainState
 from dl_ofdm_tpu.utils.timing import bench_steps, d2h_fence, measure_fence_cost
 
-FRAMES = (2340, 4681, 9362, 14043, 18724, 28086, 37449)
+FRAMES = tuple(int(x) for x in os.environ.get(
+    "P_FRAMES", "2340,4681,9362,14043,18724,28086,37449").split(","))
+KINDS = tuple(os.environ.get("P_KINDS", "full,synth,model").split(","))
 
 
 def main():
@@ -87,6 +89,7 @@ def main():
             return state_m["s"].params
         variants[("model", frames)] = step_model
 
+    variants = {k: v for k, v in variants.items() if k[0] in KINDS}
     for name, fn in variants.items():
         print(f"compiling {name}...", flush=True)
         d2h_fence(fn(0))
@@ -98,15 +101,17 @@ def main():
             best[name] = min(best[name], t)
         print(f"round {rnd} done", flush=True)
 
-    print("\nframes |   full ms  (us/fr) |  synth ms  (us/fr) |  model ms  (us/fr) | G IQ/s")
+    print("\nframes | " + " | ".join(f"{k} ms (us/fr)" for k in KINDS)
+          + " | G IQ/s (full)")
     for frames in FRAMES:
-        f, s, m = (best[("full", frames)], best[("synth", frames)],
-                   best[("model", frames)])
+        cells = []
+        for k in KINDS:
+            t = best[(k, frames)]
+            cells.append(f"{t*1e3:8.3f} ({t/frames*1e6:6.3f})")
+        f = best.get(("full", frames))
         iq = frames * 7 * 80
-        print(f"{frames:6d} | {f*1e3:8.3f} ({f/frames*1e6:6.3f}) |"
-              f" {s*1e3:8.3f} ({s/frames*1e6:6.3f}) |"
-              f" {m*1e3:8.3f} ({m/frames*1e6:6.3f}) | {iq/f/1e9:6.2f}",
-              flush=True)
+        gs = f"{iq/f/1e9:6.2f}" if f else "   n/a"
+        print(f"{frames:6d} | " + " | ".join(cells) + f" | {gs}", flush=True)
 
     if trace:
         out = os.path.join(os.path.dirname(os.path.dirname(
