@@ -79,6 +79,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from dl_ofdm_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
+
     from dl_ofdm_tpu.config import OFDMConfig
     from dl_ofdm_tpu.models.dccn import DCCNReceiver
     from dl_ofdm_tpu.ofdm.plan import build_plan

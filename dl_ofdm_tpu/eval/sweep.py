@@ -109,7 +109,7 @@ def ber_sweep(trainer, params, key: jax.Array,
         def sweep_batch(params, key):
             return eval_batch(params, key, snr_vec, point_idx, onehot)
     else:
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
         def shard_fn(params, key, snr_s, idx_s, oh_s):
@@ -121,7 +121,7 @@ def ber_sweep(trainer, params, key: jax.Array,
             shard_fn, mesh=mesh,
             in_specs=(P(), P(), P("dp"), P("dp"), P("dp", None)),
             out_specs=(P(), P()),
-            check_rep=False)
+            check_vma=False)
 
         @jax.jit
         def sweep_batch(params, key):

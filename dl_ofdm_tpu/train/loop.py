@@ -177,7 +177,7 @@ class Trainer:
         frame shard from a fold_in(axis_index) key (eval/sweep.py scheme).
         Per-shard batch-norm statistics (the reference normalizes per feed
         batch; a dp shard IS a feed batch here)."""
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
         from jax.sharding import PartitionSpec as P
         mesh = self.mesh
         dp = mesh.shape["dp"]
@@ -192,7 +192,7 @@ class Trainer:
         return shard_map(
             body, mesh=mesh, in_specs=(P(), P("dp")),
             out_specs=(P("dp"), P("dp"), P("dp"), P()),
-            check_rep=False)(key, snr_db)
+            check_vma=False)(key, snr_db)
 
     # -- data pipeline (on device) ------------------------------------------
     def synthesize(self, key: jax.Array, n_frames: int, snr_db: jnp.ndarray,
@@ -280,6 +280,17 @@ class Trainer:
         return max(self.batch_frames, snapped // 2 if snapped > target else snapped)
 
     # -- crash-resume plumbing (shared with EqualizerTrainer.fit) ------------
+    def _config_sig(self) -> str:
+        """Hash of everything that shapes the training trajectory, stamped
+        onto resume payloads so a rerun with changed hyperparameters refuses
+        the stale payload instead of silently warm-starting from it."""
+        import hashlib
+        ch = self.channel
+        parts = (type(self).__name__, repr(self.cfg), repr(self.tc),
+                 getattr(ch, "channel", None), getattr(ch, "mobile", None),
+                 getattr(ch, "mix", None), getattr(self, "freeze_rx", None))
+        return hashlib.sha1(repr(parts).encode()).hexdigest()
+
     def _maybe_resume(self, ckpt_dir, state, key):
         """Restore a mid-run resume payload from `<ckpt_dir>/resume` if one
         exists; returns (state, key, start_epoch, best_loss, best_epoch,
@@ -288,6 +299,13 @@ class Trainer:
         rp = None if ckpt_dir is None else os.path.join(ckpt_dir, "resume")
         if rp is None or not ckpt.has_resume(rp):
             return state, key, 0, float("inf"), 0, state.params, False
+        saved_sig = ckpt.resume_sig(rp)
+        if saved_sig is not None and saved_sig != self._config_sig():
+            raise RuntimeError(
+                f"resume payload at {rp} was written by a run with a "
+                f"different configuration (sig {saved_sig[:12]} != "
+                f"{self._config_sig()[:12]}); delete the stale payload or "
+                f"use a fresh ckpt_dir")
         payload = ckpt.restore_resume(rp, state, key)
         cur = payload["cursor"]
         self.batch_frames = int(cur["batch_frames"])
@@ -301,7 +319,8 @@ class Trainer:
         ckpt.save_resume(os.path.join(ckpt_dir, "resume"), state=state,
                          key=key, epoch=epoch, best_loss=best_loss,
                          best_epoch=best_epoch, best_params=best_params,
-                         batch_frames=self.batch_frames)
+                         batch_frames=self.batch_frames,
+                         config_sig=self._config_sig())
 
     # -- epoch driver (mirrors reference epoch/early-stop protocol) ----------
     def fit(self, seed: int = None, max_epochs: int = None,

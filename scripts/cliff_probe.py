@@ -44,19 +44,23 @@ def main():
 
     variants = {}   # (kind, frames) -> step fn
     for frames in FRAMES:
+        # only build what KINDS asks for: the 'model' variant materializes a
+        # per-size rx_in buffer (~168 MB f32 at 37449 frames) that must not
+        # be paid when filtered out
         tr = Trainer(OFDMConfig(nbits=1), TrainConfig(batch_size=frames * 7),
                      channel="ETU")
         assert tr.batch_frames == frames and tr._use_fused_synth
         snr = jnp.full((frames,), 5.0, jnp.float32)
         st = tr.init_state(key)
 
-        state = {"s": st}
+        if "full" in KINDS:
+            state = {"s": st}
 
-        def step_full(i, state=state, tr=tr, snr=snr):
-            state["s"], _ = tr.train_step(
-                state["s"], jax.random.fold_in(key, i), snr)
-            return state["s"].params
-        variants[("full", frames)] = step_full
+            def step_full(i, state=state, tr=tr, snr=snr):
+                state["s"], _ = tr.train_step(
+                    state["s"], jax.random.fold_in(key, i), snr)
+                return state["s"].params
+            variants[("full", frames)] = step_full
 
         spec, nf = tr._fused_synth_spec, frames
 
@@ -64,32 +68,32 @@ def main():
         def synth(k, spec=spec, nf=nf, snr=snr):
             return fused_synthesize(spec, nf, k, snr)
 
-        def step_synth(i, synth=synth):
-            return synth(jax.random.fold_in(key, i))
-        variants[("synth", frames)] = step_synth
+        if "synth" in KINDS:
+            def step_synth(i, synth=synth):
+                return synth(jax.random.fold_in(key, i))
+            variants[("synth", frames)] = step_synth
 
-        bits, rx_in, _ = jax.jit(
-            lambda k, synth=synth: synth(k))(key)
-        bits = jax.block_until_ready(bits)
+        if "model" in KINDS:
+            bits, rx_in, _ = jax.jit(
+                lambda k, synth=synth: synth(k))(key)
+            bits = jax.block_until_ready(bits)
 
-        @jax.jit
-        def data_step(state, bits, rx_in, tr=tr):
-            (_, _), grads = jax.value_and_grad(
-                tr._loss_fn, has_aux=True)(state.params, bits, rx_in)
-            updates, opt_state = tr.optimizer.update(
-                grads, state.opt_state, state.params)
-            params = optax.apply_updates(state.params, updates)
-            return TrainState(params, opt_state, state.step + 1)
+            @jax.jit
+            def data_step(state, bits, rx_in, tr=tr):
+                (_, _), grads = jax.value_and_grad(
+                    tr._loss_fn, has_aux=True)(state.params, bits, rx_in)
+                updates, opt_state = tr.optimizer.update(
+                    grads, state.opt_state, state.params)
+                params = optax.apply_updates(state.params, updates)
+                return TrainState(params, opt_state, state.step + 1)
 
-        state_m = {"s": st}
+            state_m = {"s": st}
 
-        def step_model(i, state_m=state_m, data_step=data_step,
-                       bits=bits, rx_in=rx_in):
-            state_m["s"] = data_step(state_m["s"], bits, rx_in)
-            return state_m["s"].params
-        variants[("model", frames)] = step_model
-
-    variants = {k: v for k, v in variants.items() if k[0] in KINDS}
+            def step_model(i, state_m=state_m, data_step=data_step,
+                           bits=bits, rx_in=rx_in):
+                state_m["s"] = data_step(state_m["s"], bits, rx_in)
+                return state_m["s"].params
+            variants[("model", frames)] = step_model
     for name, fn in variants.items():
         print(f"compiling {name}...", flush=True)
         d2h_fence(fn(0))
@@ -116,7 +120,9 @@ def main():
     if trace:
         out = os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "runs", "xprof_cliff")
-        fn = variants[("full", FRAMES[-1])]
+        fn = variants.get(("full", FRAMES[-1]))
+        if fn is None:  # 'full' filtered out by P_KINDS: trace any survivor
+            fn = next(iter(variants.values()))
         with jax.profiler.trace(out):
             for i in range(8):
                 o = fn(i)

