@@ -288,7 +288,8 @@ class Trainer:
         ch = self.channel
         parts = (type(self).__name__, repr(self.cfg), repr(self.tc),
                  getattr(ch, "channel", None), getattr(ch, "mobile", None),
-                 getattr(ch, "mix", None), getattr(self, "freeze_rx", None))
+                 getattr(ch, "mix", None), getattr(self, "freeze_rx", None),
+                 getattr(self, "fused_curriculum", None))
         return hashlib.sha1(repr(parts).encode()).hexdigest()
 
     def _maybe_resume(self, ckpt_dir, state, key):

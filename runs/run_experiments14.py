@@ -113,7 +113,14 @@ def train_mobile(nbits: int, opt: int = OPT, epochs: int = EPOCHS,
                      early_stop=250, token=token, save_dir=RUNS, opt=opt)
     eq = EqualizerTrainer(cfg, tc, channel=channel, mobile=True,
                           pretrained_rx=base_params, freeze_rx=False)
-    eq.fused_curriculum = eq._use_fused_synth   # fused Doppler data plane
+    # jnp Doppler data plane: the phase-14 matched-seed control
+    # (p14_doppler_control.json) FAILED for the fused kernel — the
+    # fused-trained arm evaluates ~1.8x worse on the jnp-chain distribution
+    # (tail val BER 0.0356 vs 0.0198 @80 epochs), and the reference-parity
+    # sweeps ARE the jnp distribution, so training must match it.  The
+    # fused Doppler kernel remains a throughput feature; its training-
+    # equivalence gap is tracked in RESULTS.md.
+    eq.fused_curriculum = False
     name = f"{token}_Equalizer{opt}_{channel}_mobile"
     wip = os.path.join(RUNS, name + ".wip")
     t0 = time.time()
