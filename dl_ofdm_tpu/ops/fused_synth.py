@@ -124,6 +124,8 @@ class SynthSpec:                               # (jit static arg; ndarray fields
     t_sym: float = 0.0             # OFDM symbol duration (s)
     jakes_base_r: np.ndarray = None  # [SS, taps] cos(n_vec + alpha_k)
     jakes_base_i: np.ndarray = None  # [SS, taps] cos(n_vec - alpha_k)
+    block_override: int = 0        # nonzero: force the grid block size
+                                   # (must be a multiple of lcm(8, P))
 
     @property
     def length(self) -> int:
@@ -138,8 +140,17 @@ class SynthSpec:                               # (jit static arg; ndarray fields
         hangs outright at 48 rows (measured: the mixRayleigh-mobile
         12-cycle at blk=48 never finished compiling), which is why the
         Doppler row mask/fd are STREAMED per-row inputs rather than baked
-        block constants: the block never needs to cover the Doppler cycle."""
+        block constants: the block never needs to cover the Doppler cycle.
+        `block_override` forces a size anyway — with the persistent
+        compilation cache (utils/cache.py) a multi-minute Mosaic compile is
+        one-time per spec, so larger blocks become a throughput knob."""
         p = self.n_classes
+        if self.block_override:
+            if self.block_override % int(np.lcm(8, p)):
+                raise ValueError(
+                    f"block_override {self.block_override} must be a "
+                    f"multiple of lcm(8, {p})")
+            return self.block_override
         if 64 % p == 0:
             return 64
         blk = 8 * p
