@@ -288,6 +288,78 @@ def improve_static(nbits: int, candidates=("cont", "graft16"),
         json.dump(report, fp, indent=1)
 
 
+# -- step: mobile1tail (EPA-mobile @30 dB continuation) ----------------------
+
+def mobile1_tail(epochs: int = 300, lr: float = 2e-4):
+    """Low-LR continuation of the joint BPSK mobile arm.  The phase-14 arm
+    wins ETU/EVA mobile outright and EPA @20 but trails LS-Spline's very
+    tight EPA @30 bar (1.79e-3 vs 7.87e-4); this tail only re-sweeps if the
+    EPA-mobile 30 dB cell improves without giving up the ETU/EVA wins."""
+    marker = os.path.join(RUNS, "p14_mobile1_tail.json")
+    if os.path.isfile(marker):
+        log("skip mobile1 tail (marker exists)")
+        return
+    import numpy as np
+    token = base_token(1, 5.0, True)
+    cfg, token, base_params = ensure_awgn_base(nbits=1, snr=5.0,
+                                               epochs=BASE_EPOCHS[1])
+    tc = TrainConfig(snr=5.0, batch_size=512, max_epoch_num=epochs,
+                     early_stop=epochs, token=token, save_dir=RUNS, opt=OPT,
+                     init_learning=lr, lr_decay_steps=2000)
+    eq = EqualizerTrainer(cfg, tc, channel="mixRayleigh", mobile=True,
+                          pretrained_rx=base_params, freeze_rx=False)
+    eq.fused_curriculum = False
+    name = f"{token}_Equalizer{OPT}_mixRayleigh_mobile"
+    key = jax.random.PRNGKey(41)
+    st0 = eq.init_state(key)
+    prev = ckpt.restore(os.path.join(RUNS, name), st0)
+    st = TrainState(prev.params, eq.optimizer.init(prev.params),
+                    jnp.zeros((), jnp.int32))
+    t0 = time.time()
+    state, info = eq.fit(init_state=st, log_fn=lambda *a: None)
+
+    def probe(params):
+        out = {}
+        for chan in ("EPA", "ETU", "EVA"):
+            pe = EqualizerTrainer(cfg, tc, channel=chan, mobile=True,
+                                  pretrained_rx=base_params)
+            res = ber_sweep(pe, params, jax.random.PRNGKey(4242),
+                            snrs=(20, 30), frames_per_point=30000,
+                            batch_frames=3000, log_fn=lambda *a: None)
+            out[chan] = {20: float(res.ber[0]), 30: float(res.ber[1])}
+        return out
+
+    def shipped(chan):
+        path = os.path.join(
+            RUNS, f"Test_DCCN_{token}_Equalizer{OPT}_mixRayleigh"
+                  f"_test_chan_{chan}_mobile.csv")
+        rows = np.genfromtxt(path, delimiter=",", names=True)
+        return {int(s): float(rows["BER"][list(rows["SNR"]).index(s)])
+                for s in (20, 30)}
+
+    new = probe(state.params)
+    old = {c: shipped(c) for c in ("EPA", "ETU", "EVA")}
+    ok = (new["EPA"][30] < old["EPA"][30]
+          and new["ETU"][30] <= old["ETU"][30] * 1.15
+          and new["EVA"][30] <= old["EVA"][30] * 1.15)
+    log(f"mobile1 tail: new={new} old={old} -> {'ACCEPT' if ok else 'reject'}"
+        f" ({time.time()-t0:.0f}s)")
+    if ok:
+        ckpt.save(os.path.join(RUNS, name), state)
+
+        def make_trainer(test_chan, mob):
+            return EqualizerTrainer(cfg, tc, channel=test_chan, mobile=mob,
+                                    pretrained_rx=base_params)
+
+        cross_channel_sweep(make_trainer, state.params,
+                            jax.random.PRNGKey(777), token, OPT,
+                            "mixRayleigh", mobile=True, save_dir=RUNS,
+                            frames_per_point=30000, batch_frames=3000,
+                            log_fn=lambda *a: None)
+    with open(marker, "w") as fp:
+        json.dump({"new": new, "old": old, "accepted": ok}, fp, indent=1)
+
+
 if __name__ == "__main__":
     step = sys.argv[1] if len(sys.argv) > 1 else ""
     if step == "control":
@@ -300,5 +372,7 @@ if __name__ == "__main__":
         improve_static(3, candidates=("cont", "graft16"))
     elif step == "qpsk30":
         improve_static(2, candidates=("cont",), must_improve=("EPA", 30))
+    elif step == "mobile1tail":
+        mobile1_tail()
     else:
         raise SystemExit(f"unknown step {step!r}; see module docstring")
