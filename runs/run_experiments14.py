@@ -219,13 +219,26 @@ def improve_static(nbits: int, candidates=("cont", "graft16"),
 
     prev_name = f"{token}_Equalizer{OPT}_mixRayleigh"
     for kind in candidates:
-        eq = EqualizerTrainer(cfg, tc, channel="mixRayleigh", mobile=False,
-                              pretrained_rx=base_params, freeze_rx=False)
+        # "frozen": round-1 frozen-receiver protocol but with the ZF (opt 12)
+        # equalizer + curriculum offset — the 8QAM mobile retrain showed
+        # joint fine-tuning HURTS 8QAM (the inverse of 16QAM), so the frozen
+        # scope is a first-class candidate, not just a baseline.  Fresh
+        # trainings take the reference LR schedule (1e-3, x0.98/500);
+        # continuations keep the low-LR tail passed in via `tc`.
+        import dataclasses as _dc
+        tc_k = (tc if kind == "cont" else
+                _dc.replace(tc, init_learning=1e-3, lr_decay_steps=500))
+        eq = EqualizerTrainer(cfg, tc_k, channel="mixRayleigh", mobile=False,
+                              pretrained_rx=base_params,
+                              freeze_rx=(kind == "frozen"))
         key = jax.random.PRNGKey(100 + nbits)
         st0 = eq.init_state(key)
-        if kind == "cont":
-            prev = ckpt.restore(os.path.join(RUNS, prev_name), st0)
-            params0 = prev.params
+        if kind in ("cont", "frozen"):
+            if kind == "cont":
+                prev = ckpt.restore(os.path.join(RUNS, prev_name), st0)
+                params0 = prev.params
+            else:
+                params0 = st0.params
         elif kind == "graft16":
             # 16QAM arm's converged equalizer as the init (equalizer shapes
             # are nbits-independent: it acts on the [S, K] grid upstream of
@@ -369,7 +382,7 @@ if __name__ == "__main__":
     elif step == "classical_cell":
         classical_cell(int(sys.argv[2]))
     elif step == "qam8":
-        improve_static(3, candidates=("cont", "graft16"))
+        improve_static(3, candidates=("frozen", "cont", "graft16"))
     elif step == "qpsk30":
         improve_static(2, candidates=("cont",), must_improve=("EPA", 30))
     elif step == "mobile1tail":
