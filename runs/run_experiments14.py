@@ -189,13 +189,14 @@ def _shipped_ber(token, opt, chan, snrs=(20, 30)):
 
 def improve_static(nbits: int, candidates=("cont", "graft16"),
                    epochs: int = 600, lr: float = 2e-4,
-                   gate_chans=("EPA", "EVA", "ETU"), must_improve=None):
+                   gate_chans=("EPA", "EVA", "ETU"), must_improve=None,
+                   marker_tag: str = ""):
     """Try continuation / 16QAM-equalizer-graft recipes for a static arm;
     re-sweep (overwriting the canonical CSVs) only when the quick probe
     beats the shipped curves on the gate mean.  `must_improve=(chan, snr)`
     additionally requires that single cell to improve (the EPA QPSK @30 dB
     near-miss must not be traded against channels that already win)."""
-    marker = os.path.join(RUNS, f"p14_improve_{nbits}mod.json")
+    marker = os.path.join(RUNS, f"p14_improve_{nbits}mod{marker_tag}.json")
     if os.path.isfile(marker):
         log(f"skip improve nbits={nbits} (marker exists)")
         return
@@ -387,5 +388,10 @@ if __name__ == "__main__":
         improve_static(2, candidates=("cont",), must_improve=("EPA", 30))
     elif step == "mobile1tail":
         mobile1_tail()
+    elif step == "qpskgraft":
+        # round-3 extra: the graft16 recipe fixed 8QAM outright; try it on
+        # the last flippable static cell (EPA QPSK @30: 2.4e-3 vs 1.95e-3)
+        improve_static(2, candidates=("graft16",),
+                       must_improve=("EPA", 30), marker_tag="_graft")
     else:
         raise SystemExit(f"unknown step {step!r}; see module docstring")
