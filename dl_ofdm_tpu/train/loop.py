@@ -300,14 +300,16 @@ class Trainer:
         rp = None if ckpt_dir is None else os.path.join(ckpt_dir, "resume")
         if rp is None or not ckpt.has_resume(rp):
             return state, key, 0, float("inf"), 0, state.params, False
-        saved_sig = ckpt.resume_sig(rp)
+        payload = ckpt.restore_resume(rp, state, key)
+        # the signature is read from INSIDE the payload (atomic with it;
+        # legacy payloads fall back to the sidecar — see checkpoint.py)
+        saved_sig = payload.get("config_sig")
         if saved_sig is not None and saved_sig != self._config_sig():
             raise RuntimeError(
                 f"resume payload at {rp} was written by a run with a "
                 f"different configuration (sig {saved_sig[:12]} != "
                 f"{self._config_sig()[:12]}); delete the stale payload or "
                 f"use a fresh ckpt_dir")
-        payload = ckpt.restore_resume(rp, state, key)
         cur = payload["cursor"]
         self.batch_frames = int(cur["batch_frames"])
         return (payload["state"], jnp.asarray(payload["key"]),

@@ -9,12 +9,33 @@ set -u
 cd "$(dirname "$0")/.."
 LOG=runs/experiments14.log
 
+probe_backend() {
+  # A timeout-killed chip process leaves the axon server lease held for
+  # ~25-30 min (CLAUDE.md); the next step would hang at backend init and
+  # burn its own timeout.  Poll until a trivial client can attach (round-3
+  # ADVICE item 3).
+  local tries=0
+  while ! timeout 120 python -c "import jax; print(jax.devices())" \
+      >/dev/null 2>&1; do
+    tries=$((tries + 1))
+    echo "[driver $(date +%H:%M:%S)] backend busy (probe $tries); waiting 60s" >>"$LOG"
+    if [ "$tries" -ge 40 ]; then
+      echo "[driver $(date +%H:%M:%S)] backend never freed; aborting" >>"$LOG"
+      exit 1
+    fi
+    sleep 60
+  done
+}
+
 step() {
   local t=$1; shift
   echo "[driver $(date +%H:%M:%S)] START ($t s cap): $*" >>"$LOG"
   timeout "$t" python runs/run_experiments14.py "$@" >>"$LOG" 2>&1
   local rc=$?
   echo "[driver $(date +%H:%M:%S)] END rc=$rc: $*" >>"$LOG"
+  if [ "$rc" -ne 0 ]; then
+    probe_backend
+  fi
 }
 
 step 3600 control

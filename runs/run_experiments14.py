@@ -217,6 +217,9 @@ def improve_static(nbits: int, candidates=("cont", "graft16"),
     report = {"shipped": {c: shipped[c] for c in gate_chans},
               "candidates": {}}
     best_params, best_score, best_kind = None, ship_score, None
+    best_state = None   # the WINNING run's final TrainState (ADVICE r3: the
+                        # canonical checkpoint must not pair best params with
+                        # the last candidate's freshly-initialized opt state)
 
     prev_name = f"{token}_Equalizer{OPT}_mixRayleigh"
     for kind in candidates:
@@ -279,13 +282,14 @@ def improve_static(nbits: int, candidates=("cont", "graft16"),
             ok = probe[mc][ms] < shipped[mc][ms]
         if ok:
             best_params, best_score, best_kind = state.params, score, kind
+            best_state = state   # fit() already pairs best_params with the
+                                 # winning run's final opt_state/step
 
     report["winner"] = best_kind
     if best_params is not None:
         log(f"improve nbits={nbits}: {best_kind} wins "
             f"({best_score:.5f} < {ship_score:.5f}); re-sweeping canonical")
-        ckpt.save(os.path.join(RUNS, prev_name),
-                  TrainState(best_params, st.opt_state, st.step))
+        ckpt.save(os.path.join(RUNS, prev_name), best_state)
 
         def make_trainer(test_chan, mob):
             return EqualizerTrainer(cfg, tc, channel=test_chan, mobile=mob,

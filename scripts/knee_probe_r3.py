@@ -34,8 +34,17 @@ FRAMES = tuple(int(x) for x in os.environ.get(
 
 
 def main():
+    # chip-safety guard (round-3 VERDICT weak #8): any unknown argv —
+    # including --help — must exit BEFORE touching the backend, because a
+    # second process importing the axon backend while another holds the
+    # chip hangs, and a killed chip process leaves the lease held ~25-30 min
+    import argparse
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--trace", action="store_true",
+                    help="write an xprof trace of grad at the largest size")
+    args = ap.parse_args()
     enable_persistent_cache()
-    trace = "--trace" in sys.argv
+    trace = args.trace
     key = jax.random.PRNGKey(0)
     fence = measure_fence_cost()
     print(f"d2h fence: {fence*1e3:.2f} ms", flush=True)

@@ -1,5 +1,7 @@
 """End-to-end training smoke tests: the jitted pipeline learns on CPU."""
 import dataclasses
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -229,6 +231,14 @@ def test_resume_refuses_config_mismatch(tmp_path):
 
     tc2 = dataclasses.replace(tc, init_learning=5e-4)   # changed recipe
     tr2 = Trainer(cfg, tc2, channel="AWGN")
+    with pytest.raises(RuntimeError, match="different configuration"):
+        tr2.fit(log_fn=lambda *a: None, grow_batch=False,
+                ckpt_dir=ckpt_dir, ckpt_every=2)
+
+    # crash-window case (round-3 ADVICE): the sig sidecar is GONE (crash
+    # between payload and sidecar writes) — the payload-embedded sig must
+    # still refuse the mismatched resume
+    os.remove(os.path.join(ckpt_dir, "resume.sig"))
     with pytest.raises(RuntimeError, match="different configuration"):
         tr2.fit(log_fn=lambda *a: None, grow_batch=False,
                 ckpt_dir=ckpt_dir, ckpt_every=2)
