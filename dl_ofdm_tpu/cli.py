@@ -52,6 +52,10 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--ckpt_every", type=int, default=50,
                    help="epochs between mid-run resume checkpoints (written "
                         "to <save_dir>/<token>.../resume; 0 disables)")
+    p.add_argument("--curriculum_tail", type=_bool, default=False,
+                   help="equalizer stage: extended-tail SNR curriculum "
+                        "(0-33 dB, mass shifted to 27-33; see "
+                        "train/curriculum.py)")
 
 
 def _configs(args):
@@ -65,7 +69,8 @@ def _configs(args):
                      max_epoch_num=args.max_epoch_num,
                      early_stop=args.early_stop,
                      init_learning=args.init_learning, seed=args.seed,
-                     token=args.token, save_dir=args.save_dir, opt=args.opt)
+                     token=args.token, save_dir=args.save_dir, opt=args.opt,
+                     curriculum_tail=args.curriculum_tail)
     return cfg, tc
 
 

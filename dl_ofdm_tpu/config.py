@@ -83,6 +83,11 @@ class TrainConfig:
                                    # SNR curriculum grid; None = auto
                                    # (+2.5 dB per extra modulation bit,
                                    # see train/curriculum.py)
+    curriculum_tail: bool = False  # extended-tail SNR grid 0-33 dB with mass
+                                   # shifted into the 27-33 bins — fixes the
+                                   # 30 dB test point sitting beyond the
+                                   # reference grid's 27 dB training edge
+                                   # (see train/curriculum.py SNR_TAIL_*)
 
     def frames_per_epoch(self, nsymbol: int = 7) -> int:
         """Frames per epoch = msg_length // nsymbol (symbols per frame)."""

@@ -77,9 +77,23 @@ class DCCNReceiver(nn.Module):
 
 
 class DNNReceiver(nn.Module):
-    """All-dense FC ablation receiver (`ofdm_DNN_rx`, `model.py:1539-1625`):
-    per-symbol dense stack K*2 -> F*2 -> 250 -> 125 -> data*2 -> data*2 ->
-    nbits*2, all leaky_relu."""
+    """All-dense FC ablation receiver (`ofdm_DNN_rx`, `model.py:1539-1625`).
+
+    The reference function is DEAD CODE: its only call site is commented out
+    (`ofdmreceiver_np.py:145`) and enabling it would crash — the final
+    `tf.reshape(out, [-1, data_ofdm, nbits, nllr])` folds the symbol axis
+    into batch, producing 7x the label batch (same category as the opt=6
+    NameError).  It also makes each SYMBOL predict the whole frame's
+    `data_ofdm` symbols, which is informationally impossible (a symbol
+    carries ~48 of the 320 data subcarriers) — the round-1..3 ablation
+    curve's flat 0.234 BER floor was this failure mode reproduced via a
+    symbol-mean.  This implementation follows the architecture's evident
+    intent (the reference's own commented-out
+    `tf.reshape(out, [-1, n_sym * n_sc * m_iq])` flatten at the top of the
+    demodulation scope): per-symbol dense stack K*2 -> F*2 -> 250 -> 125,
+    FLATTEN the symbol axis, then a frame-level head data*2 -> nbits*2, all
+    leaky_relu — an ablation that can actually learn, so the DCCN-vs-DNN
+    row is evidence about complex-conv structure, not about a shape bug."""
     nbits: int
     nfft: int
     cp_len: int
@@ -94,14 +108,11 @@ class DNNReceiver(nn.Module):
             x = x[:, :, self.cp_len: self.cp_len + self.nfft, :]
         k = x.shape[2]
         out = x.reshape(b, s, k * 2)
-        for width in (self.nfilter * 2, 250, 125, self.frame_size * 2,
-                      self.frame_size * 2):
+        for width in (self.nfilter * 2, 250, 125):
             out = leaky_relu(nn.Dense(width)(out))
-        out = out.reshape(b, s, self.frame_size, 2)
+        out = out.reshape(b, s * 125)            # symbol flatten (see above)
+        out = leaky_relu(nn.Dense(self.frame_size * 2)(out))
+        out = out.reshape(b, self.frame_size, 2)
         out = leaky_relu(nn.Dense(self.nbits * 2)(out))
-        # reference reshapes [-1, data_ofdm, nbits, 2]: symbol axis folds into
-        # batch only when s == 1; here we reduce across symbols by mean to keep
-        # the declared output contract for any s.
-        out = out.mean(axis=1)
         logits = out.reshape(b, self.frame_size, self.nbits, 2)
         return logits, None

@@ -678,11 +678,18 @@ def _key_seeds(key: jax.Array) -> jnp.ndarray:
         data.reshape(-1)[:2].astype(jnp.uint32), jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 4))
+@functools.partial(jax.jit, static_argnums=(0, 1, 4, 5))
 def fused_synthesize(spec: SynthSpec, n_frames: int, key: jax.Array,
-                     snr_db: jnp.ndarray, want_h: bool = False):
+                     snr_db: jnp.ndarray, want_h: bool = False,
+                     debug: bool = False):
     """Returns (bits [B, frame, nbits] i32, rx_in [B, S, sps, 2], noise_pwr
     [, h_freq [B, S, nfft, 2] when want_h]).
+
+    `debug=True` additionally appends the PRE-normalization signal and noise
+    planes ((y_r, y_i, n_r, n_i), each [B, L]) — the kernel writes them to
+    HBM anyway for the epilogue; diagnostics (scripts/doppler_rootcause.py)
+    need them because the per-position batch-norm affine is not invertible
+    from the outputs alone.  Mirrors `emulate_fused_synthesize(debug=True)`.
 
     Drop-in for the train path of `Trainer.synthesize` (no norm groups)."""
     if not (_HAS_PLTPU and _on_tpu()):
@@ -782,6 +789,7 @@ def fused_synthesize(spec: SynthSpec, n_frames: int, key: jax.Array,
     rx = jnp.stack([rxr, rxi], axis=-1).reshape(
         n_frames, spec.nsymbol, spec.sps, 2)
     bits = _bits_from_idx(idx[:n_frames], spec.nbits)
+    ret = [bits, rx, noise_power]
     if want_h:
         if spec.mobile:
             h_freq = jnp.stack([hr[:n_frames], hi[:n_frames]],
@@ -791,8 +799,11 @@ def fused_synthesize(spec: SynthSpec, n_frames: int, key: jax.Array,
             h = jnp.stack([hr[:n_frames], hi[:n_frames]], axis=-1)
             h_freq = jnp.broadcast_to(
                 h[:, None], (n_frames, spec.nsymbol, spec.nfft, 2))
-        return bits, rx, noise_power, h_freq
-    return bits, rx, noise_power
+        ret.append(h_freq)
+    if debug:
+        ret.append((yr[:n_frames], yi[:n_frames],
+                    nr[:n_frames], ni[:n_frames]))
+    return tuple(ret)
 
 
 # ---------------------------------------------------------------------------

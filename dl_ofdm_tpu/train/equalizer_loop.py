@@ -132,12 +132,23 @@ class EqualizerTrainer(Trainer):
     @partial(jax.jit, static_argnums=0)
     def train_step_curriculum(self, state: TrainState, key: jax.Array):
         ks, key = jax.random.split(key)
-        snr_db = sample_snr(ks, self.batch_frames, self._snr_offset)
+        snr_db = sample_snr(ks, self.batch_frames, self._snr_offset,
+                            tail=self.tc.curriculum_tail)
         # Fused data plane (incl. in-kernel ground-truth H): OPT-IN only
         # (see __init__ — the matched-seed training control failed for the
         # fused Doppler plane, so the jnp chain is the default everywhere).
         if self.mesh is not None:
             bits, rx_in, h_freq, noise_pwr = self._synth_mesh(key, snr_db)
+        elif (self._fused_synth_spec is not None
+              and getattr(self, "emulated_curriculum", False)):
+            # diagnostic plane (scripts/doppler_rootcause.py): the fused
+            # kernel's EXACT math with jax.random bits — isolates
+            # kernel-math deltas from PRNG-stream deltas in the
+            # fused-vs-jnp training-quality comparison
+            from dl_ofdm_tpu.ops.fused_synth import emulate_fused_synthesize
+            bits, rx_in, noise_pwr, h_freq = emulate_fused_synthesize(
+                self._fused_synth_spec, self.batch_frames, key, snr_db,
+                want_h=True)
         elif self._use_fused_synth and getattr(self, "fused_curriculum", False):
             from dl_ofdm_tpu.ops.fused_synth import fused_synthesize
             bits, rx_in, noise_pwr, h_freq = fused_synthesize(
@@ -187,7 +198,8 @@ class EqualizerTrainer(Trainer):
             epoch_loss = float(jnp.mean(jnp.stack(losses)))
             key, ks, k = jax.random.split(key, 3)
             val = self.eval_step(state.params, k, 1024,
-                                 sample_snr(ks, 1024, self._snr_offset))
+                                 sample_snr(ks, 1024, self._snr_offset,
+                                            tail=self.tc.curriculum_tail))
             history.append({"epoch": epoch, "train_loss": epoch_loss,
                             "val_ber": float(val["ber"])})
             log_fn(f"epoch {epoch}: train_ce={epoch_loss:.5f} "

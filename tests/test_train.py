@@ -118,6 +118,35 @@ def test_curriculum_snr_distribution():
     assert 0.45 < frac_21 < 0.55
 
 
+def test_curriculum_tail_distribution():
+    """Extended-tail grid (round-3 VERDICT item 2): 0-33 dB with 0.45 of the
+    mass at the 27-33 bins, while the reference grid never exceeds 27."""
+    from dl_ofdm_tpu.train.curriculum import (SNR_GRID, SNR_TAIL_GRID,
+                                              SNR_TAIL_PMF, sample_snr)
+    assert np.isclose(SNR_TAIL_PMF.sum(), 1.0)
+    assert SNR_GRID.max() == 27.0 and SNR_TAIL_GRID.max() == 33.0
+    s = np.asarray(sample_snr(jax.random.PRNGKey(0), 20000, tail=True))
+    assert set(np.unique(s)).issubset(set(SNR_TAIL_GRID.tolist()))
+    frac_hi = np.mean(s >= 27.0)
+    assert 0.40 < frac_hi < 0.50
+
+
+def test_equalizer_curriculum_tail_step():
+    """EqualizerTrainer honors TrainConfig.curriculum_tail in its jitted
+    curriculum step (smoke: one step runs and the config sig changes)."""
+    cfg = OFDMConfig(nbits=1)
+    tc = TrainConfig(snr=5.0, batch_size=56, msg_length=392,
+                     curriculum_tail=True)
+    from dl_ofdm_tpu.train.equalizer_loop import EqualizerTrainer
+    eq = EqualizerTrainer(cfg, tc, channel="EPA")
+    eq_ref = EqualizerTrainer(cfg, dataclasses.replace(
+        tc, curriculum_tail=False), channel="EPA")
+    assert eq._config_sig() != eq_ref._config_sig()
+    state = eq.init_state(jax.random.PRNGKey(0))
+    state, aux = eq.train_step_curriculum(state, jax.random.PRNGKey(1))
+    assert np.isfinite(float(aux["ce"]))
+
+
 def test_vectorized_ber_sweep_consistency():
     """The interleaved-SNR sweep must show monotone BER and match a direct
     eval at one point within statistical tolerance."""
