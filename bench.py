@@ -30,6 +30,7 @@ separately measured d2h round-trip (~23 ms).
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -115,51 +116,89 @@ def main():
     # (runs/train_step_roofline.txt) -- measure the train pipeline before
     # compiling the aux-measurement programs.
     # full end-to-end train step (data synthesis + fwd + bwd + update).
-    # Batch sizes are measured INTERLEAVED over several rounds with a
-    # per-size minimum: the round-2 bench measured one size inside a
+    # PINNED PROTOCOL (round-3 VERDICT #5): ALL train-step executables
+    # (every batch size, f32 AND bf16) are compiled before any timing, then
+    # measured INTERLEAVED over `rounds` passes with a per-step minimum and
+    # a recorded max spread — the round-2 bench measured one size inside a
     # transient slow-regime window and shipped a phantom 1.9x "regression"
     # at 9362 frames (scripts/synth_ab_r3.py interleaved A/B: 2.94 ms, vs
     # the 5.93 ms BENCH_r02 recorded).  Throughput is reported at the best
     # batch size (the training loop's adaptive batch growth reaches these
-    # sizes within a few epochs); the per-size table is kept in the JSON.
-    log("compiling full train steps...")
+    # sizes within a few epochs); the per-size tables are kept in the JSON,
+    # and the same run emits BOTH the bench JSON line and the README block
+    # (runs/bench_local.json + scripts/sync_readme_bench.py), so the two
+    # artifacts can never disagree.
+    log("compiling full train steps (f32 + bf16)...")
+    import dataclasses as _dc
+
     from dl_ofdm_tpu.channel.profiles import get_profile
     from dl_ofdm_tpu.config import TrainConfig
     from dl_ofdm_tpu.ofdm.constellation import _table_np
     from dl_ofdm_tpu.train.loop import Trainer
 
     steps, trainers = {}, {}
-    for batch_size in (16384, 65534, 131068, 262143):
-        tr_c = Trainer(cfg, TrainConfig(batch_size=batch_size), channel="ETU")
-        st = tr_c.init_state(key)
-        snr = jnp.full((tr_c.batch_frames,), 5.0, jnp.float32)
-        state = {"s": st}
+    for dtype in (None, "bfloat16"):
+        cfg_d = _dc.replace(cfg, compute_dtype=dtype)
+        dk = "f32" if dtype is None else "bf16"
+        for batch_size in (16384, 65534, 131068, 262143):
+            tr_c = Trainer(cfg_d, TrainConfig(batch_size=batch_size),
+                           channel="ETU")
+            st = tr_c.init_state(key)
+            snr = jnp.full((tr_c.batch_frames,), 5.0, jnp.float32)
+            state = {"s": st}
 
-        def step(i, state=state, tr_c=tr_c, snr=snr):
-            state["s"], _ = tr_c.train_step(
-                state["s"], jax.random.fold_in(key, i), snr)
-            return state["s"].params
+            def step(i, state=state, tr_c=tr_c, snr=snr):
+                state["s"], _ = tr_c.train_step(
+                    state["s"], jax.random.fold_in(key, i), snr)
+                return state["s"].params
 
-        d2h_fence(step(0))                       # compile before timing
-        steps[tr_c.batch_frames] = step
-        trainers[tr_c.batch_frames] = tr_c
+            d2h_fence(step(0))                   # compile before timing
+            steps[(dk, tr_c.batch_frames)] = step
+            trainers[(dk, tr_c.batch_frames)] = tr_c
 
-    best_t = {bf: float("inf") for bf in steps}
-    for rnd in range(4):
-        for bf, step in steps.items():
+    rounds = 4
+    best_t = {k: float("inf") for k in steps}
+    worst_t = {k: 0.0 for k in steps}
+    for rnd in range(rounds):
+        for k, step in steps.items():
             t_c = bench_steps(step, iters=20, repeats=1,
                               fence_cost=fence_cost)
-            best_t[bf] = min(best_t[bf], t_c)
-    t_train, train_iq, tr = None, 0.0, None
-    per_size = {}
-    for bf, t_c in best_t.items():
+            best_t[k] = min(best_t[k], t_c)
+            worst_t[k] = max(worst_t[k], t_c)
+
+    # bf16 is eligible for the headline only if its matched-seed training
+    # control passed (runs/p15_bf16_control.json: BER@5dB within 25%
+    # relative of the f32 arms) — perf must not ship a data path that
+    # trains measurably worse.
+    bf16_ok, bf16_ctl = False, None
+    ctl_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "runs", "p15_bf16_control.json")
+    if os.path.isfile(ctl_path):
+        with open(ctl_path) as f:
+            ctl = json.load(f)
+        f32_b = [v["bers"][k] for a, v in ctl.get("basic", {}).items()
+                 for k in ("5",) if a.startswith("f32")]
+        bf_b = [v["bers"][k] for a, v in ctl.get("basic", {}).items()
+                for k in ("5",) if a.startswith("bf16")]
+        if f32_b and bf_b:
+            bf16_ok = (sum(bf_b) / len(bf_b)) <= \
+                (sum(f32_b) / len(f32_b)) * 1.25
+            bf16_ctl = {"f32_ber5": f32_b, "bf16_ber5": bf_b,
+                        "verdict": "PASS" if bf16_ok else "FAIL"}
+
+    t_train, train_iq, tr, head_key = None, 0.0, None, None
+    per_size = {"f32": {}, "bf16": {}}
+    spread = {}
+    for (dk, bf), t_c in best_t.items():
         iq_c = bf * s * t / t_c
-        per_size[bf] = {"ms_per_step": round(t_c * 1e3, 3),
-                        "g_iq_per_sec": round(iq_c / 1e9, 3)}
-        log(f"train batch={bf} frames: {t_c*1e3:.3f} ms/step, "
-            f"{iq_c/1e9:.2f}G IQ/s")
-        if iq_c > train_iq:
-            t_train, train_iq, tr = t_c, iq_c, trainers[bf]
+        per_size[dk][bf] = {"ms_per_step": round(t_c * 1e3, 3),
+                            "g_iq_per_sec": round(iq_c / 1e9, 3)}
+        spread[f"{dk}@{bf}"] = round(worst_t[(dk, bf)] / t_c, 3)
+        log(f"train[{dk}] batch={bf} frames: {t_c*1e3:.3f} ms/step, "
+            f"{iq_c/1e9:.2f}G IQ/s (spread x{spread[f'{dk}@{bf}']})")
+        if iq_c > train_iq and (dk == "f32" or bf16_ok):
+            t_train, train_iq, tr, head_key = t_c, iq_c, \
+                trainers[(dk, bf)], (dk, bf)
 
     # roofline context for the winning step (VERDICT r2 item 3d): compiled
     # FLOP/byte counts vs v5e peaks (bf16 197 TFLOP/s, ~819 GB/s HBM).
@@ -278,10 +317,15 @@ def main():
                      "data plane (LUT/ifft/np.convolve per frame) + identical "
                      "device step; host->device copy excluded (conservative)"),
         "timing": ("d2h-fenced steady state (axon block_until_ready does not "
-                   "fence; see utils/timing.py)"),
+                   "fence; see utils/timing.py); interleaved min over "
+                   f"{rounds} rounds across the full executable set"),
         "train_batch_frames": tr.batch_frames,
         "train_ms_per_step": round(t_train * 1e3, 3),
-        "per_batch_size": per_size,
+        "headline_dtype": head_key[0],
+        "bf16_train_control": bf16_ctl,
+        "per_batch_size": per_size["f32"],
+        "per_batch_size_bf16": per_size["bf16"],
+        "repeatability_spread_max_over_min": spread,
         "roofline_vs_v5e_peaks": roofline,
         "host_synthesis_ms": round(t_host * 1e3, 1),
         "fwd_iq_per_sec": round(ours_fwd, 1),
@@ -289,6 +333,25 @@ def main():
         "fwd_vs_conv3d_formulation": round(t_ref / t_ours, 3),
         "device": str(jax.devices()[0]),
     }
+    # the SAME run emits the bench line, the committed local artifact and
+    # the README block — they can no longer disagree (VERDICT r3 #5)
+    root = os.path.dirname(os.path.abspath(__file__))
+    local = os.path.join(root, "runs", "bench_local.json")
+    with open(local, "w") as f:
+        json.dump(result, f, indent=1)
+    try:
+        sys.path.insert(0, os.path.join(root, "scripts"))
+        import sync_readme_bench as srb
+        block = srb.render(result, "runs/bench_local.json")
+        import re
+        rp = os.path.join(root, "README.md")
+        text = open(rp).read()
+        pat = re.compile(re.escape(srb.BEGIN) + r".*?" + re.escape(srb.END),
+                         re.S)
+        open(rp, "w").write(pat.sub(lambda m: block, text))
+        log("README bench block + runs/bench_local.json regenerated")
+    except Exception as e:  # pragma: no cover
+        log(f"README sync skipped: {e}")
     print(json.dumps(result), flush=True)
 
 

@@ -39,12 +39,28 @@ def render(d: dict, src: str) -> str:
         f"measured on the same machine (host-NumPy data plane + identical "
         f"device step; host->device copy excluded, so conservative);",
     ]
-    per = d.get("per_batch_size")
-    if per:
-        cells = ", ".join(
-            f"{bf}: {v['ms_per_step']} ms ({v['g_iq_per_sec']}G)"
-            for bf, v in sorted(per.items(), key=lambda kv: int(kv[0])))
-        lines.append(f"* per-batch-size (frames: ms/step, G IQ/s): {cells};")
+    if d.get("headline_dtype"):
+        ctl = d.get("bf16_train_control") or {}
+        lines.append(
+            f"* headline step activations: **{d['headline_dtype']}** "
+            f"(bf16 eligibility gated on the matched-seed training control"
+            f"{': ' + ctl['verdict'] if ctl.get('verdict') else ''});")
+    for key, label in (("per_batch_size", "f32"),
+                       ("per_batch_size_bf16", "bf16")):
+        per = d.get(key)
+        if per:
+            cells = ", ".join(
+                f"{bf}: {v['ms_per_step']} ms ({v['g_iq_per_sec']}G)"
+                for bf, v in sorted(per.items(), key=lambda kv: int(kv[0])))
+            lines.append(
+                f"* per-batch-size {label} (frames: ms/step, G IQ/s): "
+                f"{cells};")
+    spread = d.get("repeatability_spread_max_over_min")
+    if spread:
+        worst = max(spread.values())
+        lines.append(
+            f"* repeatability: interleaved min-of-k protocol, max/min "
+            f"spread across rounds <= x{worst} (worst step);")
     rf = d.get("roofline_vs_v5e_peaks")
     if rf:
         lines.append(
