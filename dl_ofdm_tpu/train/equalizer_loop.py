@@ -65,15 +65,21 @@ class EqualizerTrainer(Trainer):
         self._snr_offset = (tc.curriculum_offset
                             if tc.curriculum_offset is not None
                             else modulation_offset_db(cfg.nbits))
-        # fused data plane for the curriculum: DEFAULT OFF.  The round-3
-        # matched-seed control (`runs/p14_doppler_control.json`) found the
-        # fused Doppler plane trains to 1.8x worse tail val BER than the jnp
-        # chain AND was slower in that control (383 vs 258 s incl. compile),
-        # so defaulting it on for Doppler channels shipped a data plane the
-        # control proved trains worse (round-3 VERDICT weak #1).  The jnp
-        # chain is the training oracle; opt in via the `fused_curriculum`
-        # attribute only for throughput experiments (see
-        # `scripts/doppler_rootcause.py` for the per-delta A/B attribution).
+        # fused data plane for the curriculum: DEFAULT OFF.  History: the
+        # round-3 single-seed control (`runs/p14_doppler_control.json`)
+        # read as a training-quality FAIL for the fused Doppler plane; the
+        # round-4 root-cause (`runs/p15_doppler_rootcause.json`,
+        # scripts/doppler_rootcause.py) EXONERATED the kernel — on-chip
+        # distribution probes (ZF self-consistency EVM, H autocorrelation
+        # vs the analytic sum-of-sinusoids, noise moments) match the jnp
+        # oracle exactly, and a 3-arm x 2-seed control shows the 80-epoch
+        # mobile fit has ~2.5x seed-to-seed tail-val-BER variance that
+        # dwarfs any plane effect (the emulator arm with jax.random bits
+        # produced BOTH the best and the worst runs).  The default stays
+        # off on economics, not correctness: at the reference batch (73
+        # frames/step) the kernel's throughput edge is negligible while its
+        # first Mosaic compile is minutes; opt in via the
+        # `fused_curriculum` attribute for large-batch throughput work.
         self.fused_curriculum = False
 
     def _install_optimizer(self, params) -> None:
