@@ -32,6 +32,7 @@ step() {
 }
 
 step 3600 python scripts/doppler_prng_xcheck.py
+step 5400 python scripts/claim_cell_ci.py
 step 2700 python scripts/knee_probe_r4.py
 step 2700 python bench.py
 # results aggregation runs on CPU (no chip contention)
