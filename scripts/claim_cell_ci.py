@@ -63,10 +63,15 @@ def dccn_cell(nbits, mobile, reps=8, frames=120000):
                      opt=OPT)
     name = (f"{token}_Equalizer{OPT}_mixRayleigh"
             f"{'_mobile' if mobile else ''}")
+    # restore with the TRAINING-time trainer config (joint arms were trained
+    # freeze_rx=False -> plain optimizer; the masked default has a different
+    # opt_state tree and the restore refuses the structure)
+    eq_r = EqualizerTrainer(cfg, tc, channel="mixRayleigh", mobile=mobile,
+                            pretrained_rx=base_params, freeze_rx=False)
+    state = ckpt.restore(os.path.join(RUNS, name),
+                         eq_r.init_state(jax.random.PRNGKey(0)))
     eq = EqualizerTrainer(cfg, tc, channel="EPA", mobile=mobile,
                           pretrained_rx=base_params)
-    state = ckpt.restore(os.path.join(RUNS, name),
-                         eq.init_state(jax.random.PRNGKey(0)))
     out = {20: [], 30: []}
     for rep in range(reps):
         res = ber_sweep(eq, state.params,
