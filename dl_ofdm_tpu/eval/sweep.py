@@ -46,13 +46,27 @@ def ber_sweep(trainer, params, key: jax.Array,
               snrs: Iterable[int] = range(-10, 31),
               frames_per_point: int = 20000,
               batch_frames: int = 2000,
-              log_fn=print, mesh=None) -> SweepResult:
+              log_fn=print, mesh=None,
+              point_batch: bool = False) -> SweepResult:
     """Run the BER sweep with on-device data generation.
 
     All SNR points are interleaved into shared batches (the channel already
     supports a per-frame SNR vector), so the whole sweep is
     `frames_per_point * n_snrs / batch` invocations of ONE compiled program
     — per-point error counts come back as a segment sum over the SNR index.
+
+    `point_batch=True` selects the REFERENCE-PARITY protocol instead: one
+    SNR point per batch, input power-normalization statistics over the
+    whole `batch_frames` batch.  The reference evaluates each point with a
+    single session.run over all 30,000 frames (`ofdmreceiver_np_mp.py:89`),
+    i.e. its batch-norm statistics are effectively noise-free; the
+    interleaved mode's per-SNR groups (batch_frames / n_snrs frames) carry
+    variance-estimate noise that acts as a multiplicative amplitude jitter
+    of ~sqrt(1/(2*group)) and imposes an artificial high-SNR BER ceiling
+    (~29.6 dB at 444-frame groups — measured 2.4x BER inflation at 30 dB on
+    EPA QPSK).  Use point_batch with batch_frames=30000 for claim-grade
+    high-SNR cells; the interleaved mode remains the fast path for broad
+    curves and mesh sweeps.
 
     With `mesh` (a ('dp', ...) `jax.sharding.Mesh`), each batch is
     shard_mapped over 'dp': every device generates and evaluates its own
@@ -64,6 +78,12 @@ def ber_sweep(trainer, params, key: jax.Array,
     """
     snrs = list(snrs)
     n_pts = len(snrs)
+    if point_batch:
+        if mesh is not None:
+            raise NotImplementedError(
+                "point_batch is a single-device reference-parity protocol")
+        return _ber_sweep_point_batch(trainer, params, key, snrs,
+                                      frames_per_point, batch_frames, log_fn)
     n_dev = 1 if mesh is None else mesh.shape["dp"]
     rep = max(1, batch_frames // n_pts)
     # each device must hold enough frames per SNR point for meaningful
@@ -146,6 +166,46 @@ def ber_sweep(trainer, params, key: jax.Array,
                        np.asarray(losses))
 
 
+def _ber_sweep_point_batch(trainer, params, key, snrs, frames_per_point,
+                           batch_frames, log_fn):
+    """Reference-parity sweep: one SNR per batch, power-normalization
+    statistics over the whole batch (see `ber_sweep(point_batch=True)`)."""
+    from dl_ofdm_tpu.train import metrics as M
+
+    batch_frames = min(batch_frames, frames_per_point)
+
+    @jax.jit
+    def point_eval(params, key, snr_scalar):
+        snr_vec = jnp.full((batch_frames,), snr_scalar, jnp.float32)
+        bits, rx_in, _, _, _ = trainer.synthesize(key, batch_frames, snr_vec)
+        logits, *_ = trainer.model.apply({"params": params}, rx_in)
+        pred = M.bit_predictions(logits)
+        errors = jnp.sum((pred != bits).astype(jnp.int32))
+        z = logits.reshape(logits.shape[0], -1, 2)
+        logp = jax.nn.log_softmax(z, axis=-1)
+        y1h = jax.nn.one_hot(bits.reshape(bits.shape[0], -1), 2,
+                             dtype=logp.dtype)
+        ce = -jnp.sum(jnp.mean(jnp.sum(y1h * logp, axis=-1), axis=1))
+        return errors, ce
+
+    n_calls = max(1, frames_per_point // batch_frames)
+    bits_per_frame = trainer.plan.frame_size * trainer.cfg.nbits
+    bers, losses = [], []
+    for snr in snrs:
+        tot_err, tot_ce = 0, 0.0
+        for _ in range(n_calls):
+            key, k = jax.random.split(key)
+            errors, ce = point_eval(params, k, jnp.float32(snr))
+            tot_err += int(errors)
+            tot_ce += float(ce)
+        frames = n_calls * batch_frames
+        bers.append(tot_err / (frames * bits_per_frame))
+        losses.append(tot_ce / frames)
+        log_fn(f"SNR: {snr:.2f}, BER: {bers[-1]:.8f}, Loss: {losses[-1]:f}")
+    return SweepResult(np.asarray(snrs, dtype=float), np.asarray(bers),
+                       np.asarray(losses))
+
+
 def cross_channel_sweep(make_trainer, params, key: jax.Array,
                         token: str, opt: int, train_channel: str,
                         mobile: bool = False, save_dir: str = ".",
@@ -153,11 +213,13 @@ def cross_channel_sweep(make_trainer, params, key: jax.Array,
                         frames_per_point: int = 30000,
                         batch_frames: int = 3000,
                         test_channels: Sequence[str] = CROSS_TEST_CHANNELS,
-                        log_fn=print) -> dict[str, SweepResult]:
+                        log_fn=print,
+                        point_batch: bool = False) -> dict[str, SweepResult]:
     """Evaluate one trained model across the 5 test channels.
 
     `make_trainer(channel, mobile)` must return a Trainer-like object whose
-    model matches `params`.
+    model matches `params`.  `point_batch=True` selects the reference-parity
+    per-point normalization protocol (see `ber_sweep`).
     """
     results = {}
     for chan in test_channels:
@@ -165,7 +227,7 @@ def cross_channel_sweep(make_trainer, params, key: jax.Array,
         log_fn(f"Test in {chan}, mobile: {mobile}")
         key, k = jax.random.split(key)
         res = ber_sweep(trainer, params, k, snrs, frames_per_point,
-                        batch_frames, log_fn)
+                        batch_frames, log_fn, point_batch=point_batch)
         suffix = "_mobile" if mobile else ""
         name = (f"Test_DCCN_{token}_Equalizer{opt}_{train_channel}"
                 f"_test_chan_{chan}{suffix}.csv")

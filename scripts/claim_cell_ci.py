@@ -47,7 +47,7 @@ def _ci(vals):
             "n_reps": n, "per_rep": [round(float(x), 7) for x in v]}
 
 
-def dccn_cell(nbits, mobile, reps=8, frames=120000):
+def dccn_cell(nbits, mobile, reps=8, frames=120000, point_batch=True):
     import jax
     from run_experiments14 import BASE_EPOCHS, OPT
     from run_experiments8 import base_token, ensure_awgn_base
@@ -74,10 +74,16 @@ def dccn_cell(nbits, mobile, reps=8, frames=120000):
                           pretrained_rx=base_params)
     out = {20: [], 30: []}
     for rep in range(reps):
+        # point_batch=True + batch 30000 = the reference protocol exactly
+        # (one 30k-frame normalization window per SNR point,
+        # `ofdmreceiver_np_mp.py:89`); the interleaved mode's small norm
+        # groups inflate 30 dB BER ~2.4x (artificial ~29.6 dB ceiling at
+        # 444-frame groups)
         res = ber_sweep(eq, state.params,
                         jax.random.fold_in(jax.random.PRNGKey(31337), rep),
                         snrs=(20, 30), frames_per_point=frames,
-                        batch_frames=4000, log_fn=lambda *a: None)
+                        batch_frames=(30000 if point_batch else 4000),
+                        log_fn=lambda *a: None, point_batch=point_batch)
         out[20].append(float(res.ber[0]))
         out[30].append(float(res.ber[1]))
         log(f"DCCN {name} rep {rep}: @20={res.ber[0]:.3e} "
@@ -135,10 +141,24 @@ def main():
             report = json.load(f)
     name_to_idx = {v: k for k, v in E.ESTIMATOR_NAMES.items()}
 
-    if args.cell in ("A", "all") and "EPA_QPSK_static" not in report:
-        cell = {"dccn": dccn_cell(nbits=2, mobile=False)}
+    PROTO = "point_batch_30k"   # reference-parity normalization protocol
+
+    def _num(cimap):
+        # JSON round-trip stringifies the SNR keys
+        return {int(k): v for k, v in cimap.items()} if cimap else None
+
+    if args.cell in ("A", "all") and \
+            report.get("EPA_QPSK_static", {}).get("protocol") != PROTO:
+        old = report.get("EPA_QPSK_static", {})
+        cell = {"protocol": PROTO,
+                "dccn": dccn_cell(nbits=2, mobile=False)}
+        if "dccn" in old:
+            cell["dccn_interleaved_4k"] = old["dccn"]
         for est in ("ALMMSE", "LS-Quadeer"):
-            cell[est] = classical_cell(name_to_idx[est], 4, False)
+            # classical side has no batch normalization — reuse finished
+            # measurements from a prior (pre-parity-protocol) pass
+            cell[est] = _num(old.get(est)) or \
+                classical_cell(name_to_idx[est], 4, False)
         best30 = min((cell[e][30] for e in ("ALMMSE", "LS-Quadeer")),
                      key=lambda c: c["mean"])
         cell["verdict30"] = verdict(cell["dccn"][30], best30)
@@ -149,10 +169,15 @@ def main():
         with open(out_path, "w") as f:
             json.dump(report, f, indent=1)
 
-    if args.cell in ("B", "all") and "EPA_BPSK_mobile" not in report:
-        cell = {"dccn": dccn_cell(nbits=1, mobile=True),
-                "LS-Spline": classical_cell(name_to_idx["LS-Spline"], 2,
-                                            True)}
+    if args.cell in ("B", "all") and \
+            report.get("EPA_BPSK_mobile", {}).get("protocol") != PROTO:
+        old = report.get("EPA_BPSK_mobile", {})
+        cell = {"protocol": PROTO,
+                "dccn": dccn_cell(nbits=1, mobile=True)}
+        if "dccn" in old:
+            cell["dccn_interleaved_4k"] = old["dccn"]
+        cell["LS-Spline"] = _num(old.get("LS-Spline")) or \
+            classical_cell(name_to_idx["LS-Spline"], 2, True)
         cell["verdict30"] = verdict(cell["dccn"][30], cell["LS-Spline"][30])
         report["EPA_BPSK_mobile"] = _jsonable(cell)
         log(f"EPA BPSK-mobile @30: DCCN {cell['dccn'][30]['mean']:.3e} "

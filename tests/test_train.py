@@ -147,6 +147,28 @@ def test_equalizer_curriculum_tail_step():
     assert np.isfinite(float(aux["ce"]))
 
 
+def test_point_batch_sweep_matches_interleaved():
+    """Reference-parity point_batch sweep (normalization statistics over the
+    whole per-point batch, `ofdmreceiver_np_mp.py:89`) agrees with the
+    interleaved mode at moderate SNR, where norm-group noise is negligible.
+    (At 30 dB the small interleaved groups inflate BER — the round-4 finding
+    that motivated the mode.)"""
+    from dl_ofdm_tpu.eval.sweep import ber_sweep
+    from dl_ofdm_tpu.train.loop import Trainer
+
+    cfg = OFDMConfig(nbits=1)
+    tr = Trainer(cfg, TrainConfig(batch_size=224, snr=10.0), channel="AWGN")
+    st, _ = tr.fit(max_epochs=8, log_fn=lambda *a: None, grow_batch=False)
+    r_int = ber_sweep(tr, st.params, jax.random.PRNGKey(5), snrs=(0, 5),
+                      frames_per_point=4000, batch_frames=1000,
+                      log_fn=lambda *a: None)
+    r_pb = ber_sweep(tr, st.params, jax.random.PRNGKey(5), snrs=(0, 5),
+                     frames_per_point=4000, batch_frames=2000,
+                     log_fn=lambda *a: None, point_batch=True)
+    assert np.all(np.abs(r_int.ber - r_pb.ber)
+                  < 0.25 * (r_int.ber + r_pb.ber) + 5e-3)
+
+
 def test_vectorized_ber_sweep_consistency():
     """The interleaved-SNR sweep must show monotone BER and match a direct
     eval at one point within statistical tolerance."""
