@@ -111,9 +111,72 @@ def rebuild(nbits: int, mobile: bool):
             f"checkpoint saved for the CI study only")
 
 
+def tagsweep(nbits: int, mobile: bool):
+    """Sweep the rebuilt tail-curriculum arm under its OWN train-mix tag
+    (`mixRayleighTail`) — full parity-protocol cross-channel coverage, EPA
+    at 120k frames — WITHOUT touching the canonical `mixRayleigh` CSVs.
+    Used when the rebuild gate FAILS on a non-contested channel (e.g. the
+    BPSK-mobile tail arm wins every EPA/EVA cell but trades ETU down 2x
+    while still beating ETU's classical bar): the headline table's per-cell
+    best-across-arms selection (make_results `arm_candidates`) then uses
+    the tail arm only where it is genuinely best, labeled ' (ZF-tail)'."""
+    suffix = "_mobile" if mobile else ""
+    snr = 5.0 * nbits
+    token = base_token(nbits, snr, True)
+    marker = os.path.join(RUNS, f"p17_tagsweep_{token}{suffix}.json")
+    if os.path.isfile(marker):
+        log(f"skip tagsweep {token}{suffix} (marker exists)")
+        return
+    from run_experiments14 import BASE_EPOCHS
+    from run_experiments8 import ensure_awgn_base
+    from run_experiments16 import BIG_EPA
+    from dl_ofdm_tpu.config import TrainConfig
+    from dl_ofdm_tpu.eval.sweep import cross_channel_sweep
+    cfg, token, base_params = ensure_awgn_base(
+        nbits=nbits, snr=snr, epochs=BASE_EPOCHS[nbits])
+    tc = TrainConfig(snr=snr, batch_size=512, token=token, save_dir=RUNS,
+                     opt=OPT)
+    name = f"{token}_Equalizer{OPT}_mixRayleigh{suffix}"
+    eq_r = EqualizerTrainer(cfg, tc, channel="mixRayleigh", mobile=mobile,
+                            pretrained_rx=base_params, freeze_rx=False)
+    state = ckpt.restore(os.path.join(RUNS, name),
+                         eq_r.init_state(jax.random.PRNGKey(0)))
+
+    def make_trainer(test_chan, mob):
+        return EqualizerTrainer(cfg, tc, channel=test_chan, mobile=mob,
+                                pretrained_rx=base_params)
+
+    t0 = time.time()
+    cross_channel_sweep(make_trainer, state.params, jax.random.PRNGKey(888),
+                        token, OPT, "mixRayleighTail", mobile=mobile,
+                        save_dir=RUNS, frames_per_point=30000,
+                        batch_frames=30000,
+                        test_channels=("ETU", "EVA", "Flat", "Custom"),
+                        log_fn=lambda *a: None, point_batch=True)
+    epa_frames = 120000 if (nbits, mobile) in BIG_EPA else 30000
+    res = cross_channel_sweep(make_trainer, state.params,
+                              jax.random.PRNGKey(889),
+                              token, OPT, "mixRayleighTail", mobile=mobile,
+                              save_dir=RUNS, frames_per_point=epa_frames,
+                              batch_frames=30000, test_channels=("EPA",),
+                              log_fn=lambda *a: None, point_batch=True)
+    epa = res["EPA"]
+    cells = {int(s): float(b) for s, b in zip(epa.snr, epa.ber)}
+    log(f"tagsweep {token}{suffix}: parity protocol done in "
+        f"{time.time()-t0:.0f}s; EPA @20={cells.get(20):.3e} "
+        f"@30={cells.get(30):.3e} (EPA frames={epa_frames})")
+    with open(marker, "w") as fp:
+        json.dump({"arm": name, "tag": "mixRayleighTail",
+                   "protocol": "point_batch_30k", "epa_frames": epa_frames,
+                   "epa_ber": cells,
+                   "secs": round(time.time() - t0, 1)}, fp, indent=1)
+
+
 if __name__ == "__main__":
     if len(sys.argv) >= 3 and sys.argv[1] == "rebuild":
         rebuild(int(sys.argv[2]), sys.argv[3] == "mobile")
+    elif len(sys.argv) >= 3 and sys.argv[1] == "tagsweep":
+        tagsweep(int(sys.argv[2]), sys.argv[3] == "mobile")
     else:
         print(__doc__)
         sys.exit(2)
