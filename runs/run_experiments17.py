@@ -41,7 +41,15 @@ from dl_ofdm_tpu.eval.sweep import ber_sweep
 from dl_ofdm_tpu.train import checkpoint as ckpt
 from dl_ofdm_tpu.train.equalizer_loop import EqualizerTrainer
 
-SEEDS = {(2, False): 51, (1, True): 61}
+SEEDS = {(2, False): 51, (1, True): 61,
+         # phase-18 extension: the remaining claim-table ZF arms (fresh
+         # checkpoints after the round-boundary cleanup + a shot at parity-
+         # protocol improvements)
+         (3, False): 71, (4, False): 72,
+         (2, True): 73, (3, True): 74, (4, True): 75}
+# arms whose EPA @30 cell was contested (gate additionally requires that
+# single cell to improve; other arms gate on aggregate no-regression)
+CONTESTED = {(2, False), (1, True)}
 GATE_CHANS = ("EPA", "EVA", "ETU")
 
 
@@ -85,12 +93,18 @@ def rebuild(nbits: int, mobile: bool):
         f"best_loss={info['best_loss']} best_epoch={info['best_epoch']}")
     probe = _parity_probe(cfg, tc, base_params, state.params, mobile)
     log(f"rebuild {token}{suffix}: parity probe {probe}")
-    # gate: the contested cell must move toward the bar vs the committed
-    # value, and no gate cell may regress >15% (parity protocol itself only
-    # lowers BER, so a pass here is conservative)
-    ok = (probe["EPA"][30] < shipped["EPA"][30]
-          and all(probe[c][s] <= shipped[c][s] * 1.15
-                  for c in GATE_CHANS for s in (20, 30)))
+    # gate: no gate cell may regress >15% (the parity protocol itself only
+    # lowers BER, so a pass here is conservative); a CONTESTED arm must
+    # additionally improve its EPA @30 cell, a non-contested arm must
+    # improve the summed gate BER
+    no_regress = all(probe[c][s] <= shipped[c][s] * 1.15
+                     for c in GATE_CHANS for s in (20, 30))
+    if (nbits, mobile) in CONTESTED:
+        ok = no_regress and probe["EPA"][30] < shipped["EPA"][30]
+    else:
+        ok = no_regress and (
+            sum(probe[c][s] for c in GATE_CHANS for s in (20, 30))
+            < sum(shipped[c][s] for c in GATE_CHANS for s in (20, 30)))
     # the rebuilt arm becomes the canonical checkpoint either way (the old
     # one no longer exists; claim_cell_ci needs one), but the canonical
     # CSVs are only re-swept on a gate pass
