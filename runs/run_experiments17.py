@@ -186,12 +186,13 @@ def tagsweep(nbits: int, mobile: bool):
                    "secs": round(time.time() - t0, 1)}, fp, indent=1)
 
 
-def tagsweep_failed():
-    """Tag-sweep every rebuilt arm whose gate FAILED (canonical CSVs kept):
-    the arm still enters the headline table's per-cell best-across-arms
-    selection under the `mixRayleighTail` tag, so its genuine wins (the
-    mobile tail arms consistently improve the EPA cells while trading
-    EVA/ETU) are visible without overwriting the canonical arm."""
+def _gate_cells(d):
+    """(chan, snr) -> BER with JSON string keys normalized to int."""
+    return {(c, int(s)): float(v)
+            for c, m in d.items() for s, v in m.items()}
+
+
+def _iter_failed_markers():
     import re as _re
     import glob as _glob
     for path in sorted(_glob.glob(
@@ -206,9 +207,54 @@ def tagsweep_failed():
                        r"(_mobile)?\.json$", os.path.basename(path))
         if not m:
             continue
-        nbits, mobile = int(m.group(1)), bool(m.group(2))
-        log(f"tagsweep_failed: {os.path.basename(path)} "
-            f"-> tagsweep({nbits}, mobile={mobile})")
+        probe = _gate_cells(d.get("parity_probe_30k", {}))
+        committed = _gate_cells(d.get("committed_csv", {}))
+        if not probe or set(probe) != set(committed):
+            continue
+        yield (int(m.group(1)), bool(m.group(2)), probe, committed)
+
+
+def quarantine_failed():
+    """A fresh rebuild that is catastrophically worse than the committed
+    CSVs in EVERY gate cell (e.g. the 16QAM static fresh-from-base fit,
+    BER~0.25 flat — that modulation needs the continuation/graft recipe)
+    must not sit at the canonical checkpoint name where a later restore
+    would silently pick up a garbage arm.  Move it aside to
+    `<name>_p17fresh`."""
+    for nbits, mobile, probe, committed in _iter_failed_markers():
+        if not all(probe[k] > 2.0 * committed[k] for k in probe):
+            continue
+        token = base_token(nbits, 5.0 * nbits, True)
+        name = (f"{token}_Equalizer{OPT}_mixRayleigh"
+                f"{'_mobile' if mobile else ''}")
+        src = os.path.join(RUNS, name)
+        dst = os.path.join(RUNS, f"{name}_p17fresh")
+        if os.path.isdir(src) and not os.path.isdir(dst):
+            os.rename(src, dst)
+            log(f"quarantine_failed: {name} -> {name}_p17fresh "
+                f"(catastrophic fresh arm, all gate cells >2x committed)")
+
+
+def tagsweep_failed():
+    """Tag-sweep every rebuilt arm whose gate FAILED but which beats the
+    committed CSVs in at least one gate cell (the mobile tail arms
+    consistently improve the EPA cells while trading EVA/ETU): the arm
+    enters the headline table's per-cell best-across-arms selection under
+    the `mixRayleighTail` tag without overwriting the canonical arm.
+    Catastrophic arms (quarantined by `quarantine_failed`) are skipped."""
+    for nbits, mobile, probe, committed in _iter_failed_markers():
+        if not any(probe[k] < committed[k] for k in probe):
+            log(f"tagsweep_failed: skip nbits={nbits} mobile={mobile} "
+                f"(no gate cell beats the committed CSVs)")
+            continue
+        token = base_token(nbits, 5.0 * nbits, True)
+        name = (f"{token}_Equalizer{OPT}_mixRayleigh"
+                f"{'_mobile' if mobile else ''}")
+        if not os.path.isdir(os.path.join(RUNS, name)):
+            log(f"tagsweep_failed: skip {name} (checkpoint quarantined "
+                f"or missing)")
+            continue
+        log(f"tagsweep_failed: -> tagsweep({nbits}, mobile={mobile})")
         tagsweep(nbits, mobile)
 
 
@@ -218,6 +264,7 @@ if __name__ == "__main__":
     elif len(sys.argv) >= 3 and sys.argv[1] == "tagsweep":
         tagsweep(int(sys.argv[2]), sys.argv[3] == "mobile")
     elif len(sys.argv) >= 2 and sys.argv[1] == "tagsweep_failed":
+        quarantine_failed()
         tagsweep_failed()
     else:
         print(__doc__)
