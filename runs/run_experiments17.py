@@ -222,7 +222,10 @@ def quarantine_failed():
     would silently pick up a garbage arm.  Move it aside to
     `<name>_p17fresh`."""
     for nbits, mobile, probe, committed in _iter_failed_markers():
-        if not all(probe[k] > 2.0 * committed[k] for k in probe):
+        strictly_worse = all(probe[k] >= committed[k] for k in probe)
+        badly_worse = (sum(probe.values())
+                       > 1.5 * sum(committed.values()))
+        if not (strictly_worse and badly_worse):
             continue
         token = base_token(nbits, 5.0 * nbits, True)
         name = (f"{token}_Equalizer{OPT}_mixRayleigh"
