@@ -235,7 +235,7 @@ def quarantine_failed():
         if os.path.isdir(src) and not os.path.isdir(dst):
             os.rename(src, dst)
             log(f"quarantine_failed: {name} -> {name}_p17fresh "
-                f"(catastrophic fresh arm, all gate cells >2x committed)")
+                f"(catastrophic fresh arm: strictly worse everywhere, summed >=1.5x committed)")
 
 
 def tagsweep_failed():
