@@ -261,6 +261,75 @@ def tagsweep_failed():
         tagsweep(nbits, mobile)
 
 
+def xrebuild(nbits: int):
+    """Static-arm rebuild via CONTINUATION from the successfully rebuilt
+    MOBILE arm of the same modulation (fresh-from-base joint fits do not
+    converge for 8QAM/16QAM static — phase-14 finding; but the phase-18
+    fresh mobile fits DID converge, and the static channel distribution
+    differs only by Doppler).  Low-LR 300-epoch static fine-tune, parity
+    gate as in rebuild(); on gate fail the arm is saved aside (never at the
+    canonical name)."""
+    snr = 5.0 * nbits
+    token = base_token(nbits, snr, True)
+    marker = os.path.join(RUNS, f"p18_xrebuild_{token}.json")
+    if os.path.isfile(marker):
+        log(f"skip xrebuild {token} (marker exists)")
+        return
+    import dataclasses as _dc
+
+    import jax.numpy as jnp
+
+    from run_experiments14 import BASE_EPOCHS
+    from run_experiments8 import ensure_awgn_base
+    from dl_ofdm_tpu.config import TrainConfig
+    from dl_ofdm_tpu.train.loop import TrainState
+    shipped = {c: _committed_csv(token, c, False) for c in GATE_CHANS}
+    log(f"xrebuild {token}: committed CSVs {shipped}")
+    cfg, token, base_params = ensure_awgn_base(
+        nbits=nbits, snr=snr, epochs=BASE_EPOCHS[nbits])
+    tc = TrainConfig(snr=snr, batch_size=512, max_epoch_num=300,
+                     early_stop=300, token=token, save_dir=RUNS, opt=OPT,
+                     seed=81 + nbits, curriculum_tail=True,
+                     init_learning=2e-4, lr_decay_steps=2000)
+    # source: the rebuilt mobile arm (phase-18 gate PASS)
+    eq_m = EqualizerTrainer(cfg, tc, channel="mixRayleigh", mobile=True,
+                            pretrained_rx=base_params, freeze_rx=False)
+    prev = ckpt.restore(
+        os.path.join(RUNS, f"{token}_Equalizer{OPT}_mixRayleigh_mobile"),
+        eq_m.init_state(jax.random.PRNGKey(0)))
+    eq = EqualizerTrainer(cfg, tc, channel="mixRayleigh", mobile=False,
+                          pretrained_rx=base_params, freeze_rx=False)
+    st = TrainState(prev.params, eq.optimizer.init(prev.params),
+                    jnp.zeros((), jnp.int32))
+    t0 = time.time()
+    state, info = eq.fit(init_state=st, log_fn=lambda *a: None)
+    log(f"xrebuild {token}: mobile->static continuation fit in "
+        f"{time.time()-t0:.0f}s best_loss={info['best_loss']:.6f}")
+    probe = _parity_probe(cfg, tc, base_params, state.params, False)
+    log(f"xrebuild {token}: parity probe {probe}")
+    no_regress = all(probe[c][s] <= shipped[c][s] * 1.15
+                     for c in GATE_CHANS for s in (20, 30))
+    ok = no_regress and (
+        sum(probe[c][s] for c in GATE_CHANS for s in (20, 30))
+        < sum(shipped[c][s] for c in GATE_CHANS for s in (20, 30)))
+    name = f"{token}_Equalizer{OPT}_mixRayleigh"
+    save_to = name if ok else f"{name}_p18x"
+    ckpt.save(os.path.join(RUNS, save_to), state)
+    with open(marker, "w") as fp:
+        json.dump({"recipe": "mobile_to_static_continuation300_tail",
+                   "fit": {"best_loss": round(info["best_loss"], 6),
+                           "best_epoch": info["best_epoch"]},
+                   "committed_csv": shipped, "parity_probe_30k": probe,
+                   "gate_pass": bool(ok), "canonical_csvs_updated": bool(ok),
+                   "saved_as": save_to,
+                   "secs": round(time.time() - t0, 1)}, fp, indent=1)
+    if ok:
+        resweep(nbits, False)
+    else:
+        log(f"xrebuild {token}: GATE FAIL — saved as {save_to}, canonical "
+            f"CSVs kept")
+
+
 if __name__ == "__main__":
     if len(sys.argv) >= 3 and sys.argv[1] == "rebuild":
         rebuild(int(sys.argv[2]), sys.argv[3] == "mobile")
@@ -269,6 +338,8 @@ if __name__ == "__main__":
     elif len(sys.argv) >= 2 and sys.argv[1] == "tagsweep_failed":
         quarantine_failed()
         tagsweep_failed()
+    elif len(sys.argv) >= 3 and sys.argv[1] == "xrebuild":
+        xrebuild(int(sys.argv[2]))
     else:
         print(__doc__)
         sys.exit(2)
