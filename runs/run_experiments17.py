@@ -330,6 +330,81 @@ def xrebuild(nbits: int):
             f"CSVs kept")
 
 
+def graftrebuild(nbits: int = 3):
+    """8QAM static arm via the proven phase-14 graft recipe: ONLY the
+    Equalizer scope from the converged 16QAM static arm (now the xrebuild
+    continuation arm) into the nbits-matched AWGN base, joint fine-tune at
+    the fresh LR schedule (`run_experiments14.improve_static` graft16,
+    which originally fixed the 8QAM anomaly).  Same parity gate; gate-fail
+    saves aside as _p18g."""
+    snr = 5.0 * nbits
+    token = base_token(nbits, snr, True)
+    marker = os.path.join(RUNS, f"p18_graftrebuild_{token}.json")
+    if os.path.isfile(marker):
+        log(f"skip graftrebuild {token} (marker exists)")
+        return
+    import jax.numpy as jnp
+
+    from run_experiments14 import BASE_EPOCHS
+    from run_experiments8 import ensure_awgn_base
+    from dl_ofdm_tpu.config import OFDMConfig, TrainConfig
+    from dl_ofdm_tpu.train.loop import TrainState
+    shipped = {c: _committed_csv(token, c, False) for c in GATE_CHANS}
+    log(f"graftrebuild {token}: committed CSVs {shipped}")
+    cfg, token, base_params = ensure_awgn_base(
+        nbits=nbits, snr=snr, epochs=BASE_EPOCHS[nbits])
+    tc = TrainConfig(snr=snr, batch_size=512, max_epoch_num=600,
+                     early_stop=250, token=token, save_dir=RUNS, opt=OPT,
+                     seed=91, curriculum_tail=True,
+                     init_learning=1e-3, lr_decay_steps=500)
+    # donor: the 16QAM static canonical arm (equalizer shapes are
+    # nbits-independent: the equalizer acts on the [S, K] grid upstream of
+    # demodulation — run_experiments14.py improve_static graft16)
+    tok16 = base_token(4, 20.0, True)
+    eq16 = EqualizerTrainer(
+        OFDMConfig(nbits=4),
+        TrainConfig(snr=20.0, batch_size=512, token=tok16, save_dir=RUNS,
+                    opt=OPT),
+        channel="mixRayleigh", pretrained_rx=None, freeze_rx=False)
+    st16 = ckpt.restore(
+        os.path.join(RUNS, f"{tok16}_Equalizer{OPT}_mixRayleigh"),
+        eq16.init_state(jax.random.PRNGKey(0)))
+    eq = EqualizerTrainer(cfg, tc, channel="mixRayleigh", mobile=False,
+                          pretrained_rx=base_params, freeze_rx=False)
+    st0 = eq.init_state(jax.random.PRNGKey(91))
+    params0 = dict(st0.params)
+    params0["Equalizer"] = st16.params["Equalizer"]
+    st = TrainState(params0, eq.optimizer.init(params0),
+                    jnp.zeros((), jnp.int32))
+    t0 = time.time()
+    state, info = eq.fit(init_state=st, log_fn=lambda *a: None)
+    log(f"graftrebuild {token}: graft16 fit in {time.time()-t0:.0f}s "
+        f"best_loss={info['best_loss']:.6f}")
+    probe = _parity_probe(cfg, tc, base_params, state.params, False)
+    log(f"graftrebuild {token}: parity probe {probe}")
+    no_regress = all(probe[c][s] <= shipped[c][s] * 1.15
+                     for c in GATE_CHANS for s in (20, 30))
+    ok = no_regress and (
+        sum(probe[c][s] for c in GATE_CHANS for s in (20, 30))
+        < sum(shipped[c][s] for c in GATE_CHANS for s in (20, 30)))
+    name = f"{token}_Equalizer{OPT}_mixRayleigh"
+    save_to = name if ok else f"{name}_p18g"
+    ckpt.save(os.path.join(RUNS, save_to), state)
+    with open(marker, "w") as fp:
+        json.dump({"recipe": "graft16_from_xrebuild_static",
+                   "fit": {"best_loss": round(info["best_loss"], 6),
+                           "best_epoch": info["best_epoch"]},
+                   "committed_csv": shipped, "parity_probe_30k": probe,
+                   "gate_pass": bool(ok), "canonical_csvs_updated": bool(ok),
+                   "saved_as": save_to,
+                   "secs": round(time.time() - t0, 1)}, fp, indent=1)
+    if ok:
+        resweep(nbits, False)
+    else:
+        log(f"graftrebuild {token}: GATE FAIL — saved as {save_to}, "
+            f"canonical CSVs kept")
+
+
 if __name__ == "__main__":
     if len(sys.argv) >= 3 and sys.argv[1] == "rebuild":
         rebuild(int(sys.argv[2]), sys.argv[3] == "mobile")
@@ -340,6 +415,8 @@ if __name__ == "__main__":
         tagsweep_failed()
     elif len(sys.argv) >= 3 and sys.argv[1] == "xrebuild":
         xrebuild(int(sys.argv[2]))
+    elif len(sys.argv) >= 2 and sys.argv[1] == "graftrebuild":
+        graftrebuild(int(sys.argv[2]) if len(sys.argv) > 2 else 3)
     else:
         print(__doc__)
         sys.exit(2)
