@@ -62,6 +62,51 @@ def restore(path: str, target: Any) -> Any:
         treedef, [data[k] for k in data.files])
 
 
+# -- portable single-file param archives (committed claim-table arms) --------
+#
+# Orbax checkpoint dirs in `runs/<token>/` are gitignored and cleaned at
+# round boundaries (CLAUDE.md); the npz archive is the durable, committable
+# form of a trained arm: float32 params only (no optimizer state), one file,
+# loadable with zero framework state.  Replaces nothing in the reference —
+# the analogous artifact there is the TF1 `.meta/.index/.data` triplet
+# committed under `test_v1/model/` (`test_v1/test_ofdm_cdnn_awgn.py:64-85`).
+
+
+def export_params_npz(path: str, params: Any) -> str:
+    """Write a (possibly nested) param dict to a single .npz file.
+
+    Keys are '/'-joined dict paths (scope names contain no '/'); values are
+    cast to float32 for size (training dtype is float32 anyway)."""
+    flat = {}
+
+    def _walk(prefix, node):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                _walk(f"{prefix}/{k}" if prefix else str(k), v)
+        else:
+            flat[prefix] = np.asarray(jax.device_get(node), np.float32)
+
+    _walk("", params)
+    os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
+    tmp = path + ".tmp.npz"
+    np.savez_compressed(tmp, **flat)
+    os.replace(tmp, path)
+    return path
+
+
+def load_params_npz(path: str) -> dict:
+    """Inverse of `export_params_npz`: nested dict of float32 numpy arrays."""
+    out: dict = {}
+    with np.load(path) as data:
+        for key in data.files:
+            node = out
+            parts = key.split("/")
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            node[parts[-1]] = data[key]
+    return out
+
+
 # -- full-resume payloads (params + opt state + PRNG key + cursor) -----------
 
 _SIG_LEN = 40   # sha1 hexdigest length — fixed so the payload shape is static
