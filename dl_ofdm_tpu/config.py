@@ -88,6 +88,13 @@ class TrainConfig:
                                    # 30 dB test point sitting beyond the
                                    # reference grid's 27 dB training edge
                                    # (see train/curriculum.py SNR_TAIL_*)
+    best_metric: str = "ce"        # epoch best-model selection: 'ce' (default;
+                                   # documented deviation — the metric the
+                                   # gradient actually optimizes) or 'total'
+                                   # (reference parity: CE + reg + log-BER
+                                   # total cost, `ofdmreceiver_np.py:268-272`
+                                   # — includes the noisy non-differentiable
+                                   # log-BER term)
 
     def frames_per_epoch(self, nsymbol: int = 7) -> int:
         """Frames per epoch = msg_length // nsymbol (symbols per frame)."""

@@ -361,10 +361,14 @@ class Trainer:
             snr = jnp.full((self.batch_frames,), tc.snr, jnp.float32)
             losses = []
             last_ber = 0.5
+            # best-model selection metric: 'ce' (default; the optimized
+            # objective) or 'total' (reference parity — best by total cost
+            # incl. the log-BER metric term, `ofdmreceiver_np.py:268-272`)
+            sel = "total_loss" if tc.best_metric == "total" else "ce"
             for _ in range(steps_per_epoch):
                 key, k = jax.random.split(key)
                 state, aux = self.train_step(state, k, snr)
-                losses.append(aux["ce"])
+                losses.append(aux[sel])
             last_ber = float(aux["ber"])
             epoch_loss = float(jnp.mean(jnp.stack(losses)))
             key, k = jax.random.split(key)

@@ -105,24 +105,30 @@ def rebuild(nbits: int, mobile: bool):
         ok = no_regress and (
             sum(probe[c][s] for c in GATE_CHANS for s in (20, 30))
             < sum(shipped[c][s] for c in GATE_CHANS for s in (20, 30)))
-    # the rebuilt arm becomes the canonical checkpoint either way (the old
-    # one no longer exists; claim_cell_ci needs one), but the canonical
-    # CSVs are only re-swept on a gate pass
-    ckpt.save(os.path.join(RUNS, name), state)
-    report = {"recipe": "fresh600_tail_curriculum", "seed": seed,
-              "fit": info, "committed_csv": shipped,
-              "parity_probe_30k": probe, "gate_pass": bool(ok),
-              "canonical_csvs_updated": bool(ok),
-              "secs": round(time.time() - t0, 1)}
-    with open(marker, "w") as fp:
-        json.dump(report, fp, indent=1)
+    # a gate-PASS arm becomes the canonical checkpoint; a gate-FAIL arm is
+    # saved ASIDE as `<name>_tail` so no ungated resweep/restore can ever
+    # pick it up at the canonical name and overwrite the committed parity
+    # CSVs (round-4 ADVICE #1) — tagsweep/claim_cell_ci look there
+    name = f"{token}_Equalizer{OPT}_mixRayleigh{suffix}"
+    save_to = name if ok else f"{name}_tail"
+    ckpt.save(os.path.join(RUNS, save_to), state)
     if ok:
         # full parity-protocol canonical resweep (EPA at 120k frames for
-        # the contested cells) — run_experiments16 marker makes it resumable
+        # the contested cells) BEFORE the marker write: a driver-timeout
+        # kill mid-resweep must leave the rebuild retryable, not a marker
+        # claiming success over partially-updated CSVs (round-4 ADVICE #2;
+        # resweep's own marker makes the completed part resumable)
         resweep(nbits, mobile)
     else:
         log(f"rebuild {token}{suffix}: GATE FAIL — canonical CSVs kept; "
-            f"checkpoint saved for the CI study only")
+            f"checkpoint saved aside as {save_to}")
+    report = {"recipe": "fresh600_tail_curriculum", "seed": seed,
+              "fit": info, "committed_csv": shipped,
+              "parity_probe_30k": probe, "gate_pass": bool(ok),
+              "canonical_csvs_updated": bool(ok), "saved_as": save_to,
+              "secs": round(time.time() - t0, 1)}
+    with open(marker, "w") as fp:
+        json.dump(report, fp, indent=1)
 
 
 def tagsweep(nbits: int, mobile: bool):
@@ -151,9 +157,13 @@ def tagsweep(nbits: int, mobile: bool):
     tc = TrainConfig(snr=snr, batch_size=512, token=token, save_dir=RUNS,
                      opt=OPT)
     name = f"{token}_Equalizer{OPT}_mixRayleigh{suffix}"
+    # the tail arm lives ASIDE as `<name>_tail` since the ADVICE-r4 fix;
+    # legacy layouts (rounds <=4) parked it at the canonical name
+    src = name + "_tail" if os.path.isdir(
+        os.path.join(RUNS, name + "_tail")) else name
     eq_r = EqualizerTrainer(cfg, tc, channel="mixRayleigh", mobile=mobile,
                             pretrained_rx=base_params, freeze_rx=False)
-    state = ckpt.restore(os.path.join(RUNS, name),
+    state = ckpt.restore(os.path.join(RUNS, src),
                          eq_r.init_state(jax.random.PRNGKey(0)))
 
     def make_trainer(test_chan, mob):
@@ -315,6 +325,13 @@ def xrebuild(nbits: int):
     name = f"{token}_Equalizer{OPT}_mixRayleigh"
     save_to = name if ok else f"{name}_p18x"
     ckpt.save(os.path.join(RUNS, save_to), state)
+    if ok:
+        # resweep BEFORE the marker write (ADVICE r4 #2: a kill mid-resweep
+        # must leave this step retryable; resweep's own marker resumes it)
+        resweep(nbits, False)
+    else:
+        log(f"xrebuild {token}: GATE FAIL — saved as {save_to}, canonical "
+            f"CSVs kept")
     with open(marker, "w") as fp:
         json.dump({"recipe": "mobile_to_static_continuation300_tail",
                    "fit": {"best_loss": round(info["best_loss"], 6),
@@ -323,11 +340,6 @@ def xrebuild(nbits: int):
                    "gate_pass": bool(ok), "canonical_csvs_updated": bool(ok),
                    "saved_as": save_to,
                    "secs": round(time.time() - t0, 1)}, fp, indent=1)
-    if ok:
-        resweep(nbits, False)
-    else:
-        log(f"xrebuild {token}: GATE FAIL — saved as {save_to}, canonical "
-            f"CSVs kept")
 
 
 def graftrebuild(nbits: int = 3):
@@ -390,6 +402,12 @@ def graftrebuild(nbits: int = 3):
     name = f"{token}_Equalizer{OPT}_mixRayleigh"
     save_to = name if ok else f"{name}_p18g"
     ckpt.save(os.path.join(RUNS, save_to), state)
+    if ok:
+        # resweep BEFORE the marker write (ADVICE r4 #2; see xrebuild)
+        resweep(nbits, False)
+    else:
+        log(f"graftrebuild {token}: GATE FAIL — saved as {save_to}, "
+            f"canonical CSVs kept")
     with open(marker, "w") as fp:
         json.dump({"recipe": "graft16_from_xrebuild_static",
                    "fit": {"best_loss": round(info["best_loss"], 6),
@@ -398,17 +416,12 @@ def graftrebuild(nbits: int = 3):
                    "gate_pass": bool(ok), "canonical_csvs_updated": bool(ok),
                    "saved_as": save_to,
                    "secs": round(time.time() - t0, 1)}, fp, indent=1)
-    if ok:
-        resweep(nbits, False)
-    else:
-        log(f"graftrebuild {token}: GATE FAIL — saved as {save_to}, "
-            f"canonical CSVs kept")
 
 
 if __name__ == "__main__":
-    if len(sys.argv) >= 3 and sys.argv[1] == "rebuild":
+    if len(sys.argv) >= 4 and sys.argv[1] == "rebuild":
         rebuild(int(sys.argv[2]), sys.argv[3] == "mobile")
-    elif len(sys.argv) >= 3 and sys.argv[1] == "tagsweep":
+    elif len(sys.argv) >= 4 and sys.argv[1] == "tagsweep":
         tagsweep(int(sys.argv[2]), sys.argv[3] == "mobile")
     elif len(sys.argv) >= 2 and sys.argv[1] == "tagsweep_failed":
         quarantine_failed()

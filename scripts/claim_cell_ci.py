@@ -63,6 +63,12 @@ def dccn_cell(nbits, mobile, reps=8, frames=120000, point_batch=True):
                      opt=OPT)
     name = (f"{token}_Equalizer{OPT}_mixRayleigh"
             f"{'_mobile' if mobile else ''}")
+    # the arm behind a '(ZF-tail)' claim cell lives ASIDE as `<name>_tail`
+    # (gate-failed fresh rebuild, swept under the mixRayleighTail tag —
+    # round-4 ADVICE #1 fix); prefer it when present so the CI adjudicates
+    # the same arm the table shows
+    if os.path.isdir(os.path.join(RUNS, name + "_tail")):
+        name += "_tail"
     # restore with the TRAINING-time trainer config (joint arms were trained
     # freeze_rx=False -> plain optimizer; the masked default has a different
     # opt_state tree and the restore refuses the structure)

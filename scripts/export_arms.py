@@ -61,11 +61,12 @@ def _raw_params(ckpt_dir):
 # that no longer exist anywhere.
 def _role(name):
     m = re.match(r"OFDM_Dense3_(\d)mod_snr\d+_cp(True|False)"
-                 r"(_Equalizer(\d+)_([A-Za-z]+))?(_mobile)?$", name)
+                 r"(_Equalizer(\d+)_([A-Za-z]+))?(_mobile)?(_tail)?$", name)
     if not m:
         return None
     nbits = int(m.group(1))
     mobile = bool(m.group(6))
+    is_tail = bool(m.group(7))
     if not m.group(3):
         return {"kind": "awgn_base", "nbits": nbits,
                 "backs": [f"Test_DCCN_{name}_AWGN.csv"]}
@@ -84,7 +85,7 @@ def _role(name):
             info["recipe"] = d.get("recipe")
             info["gate_pass"] = d.get("gate_pass")
             break
-    if info.get("gate_pass") is False:
+    if is_tail or info.get("gate_pass") is False:
         # gate-failed fresh arm parked at the canonical name: its sweeps
         # live under the Tail tag (run_experiments17.tagsweep)
         info["sweep_tag"] = "mixRayleighTail"

@@ -143,7 +143,10 @@ def main():
     if os.path.isfile(OUT):
         with open(OUT) as f:
             results = json.load(f)
-    done = {(r["frames"], r["variant"]) for r in results}
+    # an error/timeout record is NOT done — a rerun retries it (round-4
+    # ADVICE: treating errors as completed made failures permanent)
+    done = {(r["frames"], r["variant"]) for r in results
+            if "error" not in r}
     for frames in FRAMES:
         for variant in VARIANTS:
             if (frames, variant) in done:
