@@ -88,6 +88,11 @@ class TrainConfig:
                                    # 30 dB test point sitting beyond the
                                    # reference grid's 27 dB training edge
                                    # (see train/curriculum.py SNR_TAIL_*)
+    fused_model_matmul_dtype: str = "float32"  # GEMM input dtype inside the
+                                   # fused DCCN fwd+bwd kernel
+                                   # (ops/fused_model.py): 'float32' or
+                                   # 'bfloat16' (f32 accumulation either
+                                   # way; bf16 runs the MXU at full rate)
     best_metric: str = "ce"        # epoch best-model selection: 'ce' (default;
                                    # documented deviation — the metric the
                                    # gradient actually optimizes) or 'total'

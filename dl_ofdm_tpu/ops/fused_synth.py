@@ -678,10 +678,10 @@ def _key_seeds(key: jax.Array) -> jnp.ndarray:
         data.reshape(-1)[:2].astype(jnp.uint32), jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 4, 5))
+@functools.partial(jax.jit, static_argnums=(0, 1, 4, 5, 6))
 def fused_synthesize(spec: SynthSpec, n_frames: int, key: jax.Array,
                      snr_db: jnp.ndarray, want_h: bool = False,
-                     debug: bool = False):
+                     debug: bool = False, raw: bool = False):
     """Returns (bits [B, frame, nbits] i32, rx_in [B, S, sps, 2], noise_pwr
     [, h_freq [B, S, nfft, 2] when want_h]).
 
@@ -778,6 +778,15 @@ def fused_synthesize(spec: SynthSpec, n_frames: int, key: jax.Array,
         idx, yr, yi, nr, ni, hr, hi, stats = outs
     else:
         idx, yr, yi, nr, ni, stats = outs
+
+    if raw:
+        # chaining form for the fused model-grad kernel
+        # (`ops/fused_model.py`, fuse_norm=True): PADDED raw signal/noise
+        # planes + idx grid + per-block stats; the caller derives the affine
+        # via `_combine_stats` and the downstream kernel applies it in VMEM
+        # (padded rows carry real generated data and are masked there by
+        # row index >= n_frames).
+        return idx, yr, yi, nr, ni, stats
 
     sums = stats.sum(axis=0)
     _, c, noise_power, _ = _combine_stats(sums, n_frames)

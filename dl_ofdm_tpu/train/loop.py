@@ -136,6 +136,28 @@ class Trainer:
             and self.mesh is None  # fused kernel is per-device; the mesh
                                    # path shard_maps the jnp chain instead
             and jax.default_backend() in ("tpu", "axon"))
+        # fused model fwd+bwd (ops/fused_model.py, round-5 VERDICT #1): the
+        # whole DCCN forward+loss+backward runs as ONE Pallas kernel chained
+        # off the synth kernel's raw planes — no logits/activations ever
+        # reach HBM (the XLA fwd+bwd owned 87% of the step's 4 GB traffic).
+        # Engaged for the stock DCCNReceiver on TPU; every other model/
+        # config keeps the XLA autodiff path (which the CPU test suite pins
+        # the kernel against).
+        self._fused_model_spec = None
+        if (self._use_fused_synth
+                and type(self.model) is DCCNReceiver
+                and self.model.recombine == "true"
+                and self.model.compute_dtype is None
+                and self.model.keep_cp
+                and not tc.double_softmax
+                and cfg.nbits <= 4):
+            from dl_ofdm_tpu.ops.fused_model import ModelSpec
+            self._fused_model_spec = ModelSpec(
+                nsymbol=self.plan.nsymbol,
+                sps=self.plan.samples_per_symbol,
+                nfilter=cfg.nfilter, frame_size=self.plan.frame_size,
+                nbits=cfg.nbits, fuse_norm=True,
+                matmul_dtype=tc.fused_model_matmul_dtype)
 
     # -- state ---------------------------------------------------------------
     def init_state(self, key: jax.Array) -> TrainState:
@@ -236,6 +258,8 @@ class Trainer:
     @partial(jax.jit, static_argnums=0)
     def train_step(self, state: TrainState, key: jax.Array,
                    snr_db: jnp.ndarray):
+        if self._fused_model_spec is not None and self.mesh is None:
+            return self._train_step_fused(state, key, snr_db)
         if self.mesh is not None:
             bits, rx_in, _, noise_pwr = self._synth_mesh(key, snr_db)
         elif self._use_fused_synth:
@@ -252,6 +276,37 @@ class Trainer:
             grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         aux.update(loss=loss, noise_power=noise_pwr)
+        return TrainState(params, opt_state, state.step + 1), aux
+
+    def _train_step_fused(self, state: TrainState, key: jax.Array,
+                          snr_db: jnp.ndarray):
+        """Fully fused step: synth kernel (raw planes) -> batch-stat combine
+        -> fused model fwd+bwd kernel -> optimizer.  HBM sees only the raw
+        planes once, the idx grid, params and grads (~9 KB/frame vs
+        ~220 KB/frame for the XLA autodiff step)."""
+        from dl_ofdm_tpu.ops.fused_model import dccn_fused_grads, reg_grads
+        from dl_ofdm_tpu.ops.fused_synth import _combine_stats
+        idx, yr, yi, nr, ni, stats = fused_synthesize(
+            self._fused_synth_spec, self.batch_frames, key, snr_db, raw=True)
+        _, c, noise_pwr, _ = _combine_stats(stats.sum(axis=0),
+                                            self.batch_frames)
+        grads, ce, conf = dccn_fused_grads(
+            self._fused_model_spec, self.batch_frames, state.params,
+            yr, yi, nr, ni, c, idx)
+        log_ber, ber = M.ber_from_confusion(conf)
+        reg = M.l2_regularization(state.params)
+        loss = ce + jax.lax.stop_gradient(ber) * self.tc.reg_coeff * reg
+        grads = jax.tree.map(
+            lambda g, r: g + r, grads,
+            reg_grads(state.params, ber, self.tc.reg_coeff))
+        if self._grad_mask is not None:
+            grads = jax.tree.map(lambda g, m: g * m, grads, self._grad_mask)
+        updates, opt_state = self.optimizer.update(
+            grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        aux = {"ce": ce, "ber": ber, "log_ber": log_ber, "conf": conf,
+               "total_loss": ce + ber * self.tc.reg_coeff * reg + log_ber,
+               "loss": loss, "noise_power": noise_pwr}
         return TrainState(params, opt_state, state.step + 1), aux
 
     @partial(jax.jit, static_argnums=(0, 3))
