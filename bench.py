@@ -128,21 +128,28 @@ def main():
     # and the same run emits BOTH the bench JSON line and the README block
     # (runs/bench_local.json + scripts/sync_readme_bench.py), so the two
     # artifacts can never disagree.
-    log("compiling full train steps (f32 + bf16)...")
-    import dataclasses as _dc
-
+    # Since round 5 the train step runs the FUSED model fwd+bwd kernel
+    # (ops/fused_model.py; the XLA autodiff fwd+bwd owned 87% of step
+    # traffic) — the dtype axis is the kernel's GEMM input dtype ('f32' =
+    # f32 passes, HIGHER precision than the XLA step's default TPU matmul;
+    # 'bf16' = full-rate MXU, f32 accumulation).  An 'xla' row per batch
+    # size keeps the autodiff step measured for comparison.
+    log("compiling full train steps (fused f32/bf16 + xla)...")
     from dl_ofdm_tpu.channel.profiles import get_profile
     from dl_ofdm_tpu.config import TrainConfig
     from dl_ofdm_tpu.ofdm.constellation import _table_np
     from dl_ofdm_tpu.train.loop import Trainer
 
     steps, trainers = {}, {}
-    for dtype in (None, "bfloat16"):
-        cfg_d = _dc.replace(cfg, compute_dtype=dtype)
-        dk = "f32" if dtype is None else "bf16"
+    for dk, mmd in (("f32", "float32"), ("bf16", "bfloat16"),
+                    ("xla", None)):
         for batch_size in (16384, 65534, 131068, 262143):
-            tr_c = Trainer(cfg_d, TrainConfig(batch_size=batch_size),
-                           channel="ETU")
+            tr_c = Trainer(cfg, TrainConfig(
+                batch_size=batch_size,
+                fused_model_matmul_dtype=mmd or "float32"),
+                channel="ETU")
+            if mmd is None:
+                tr_c._fused_model_spec = None    # force the XLA step
             st = tr_c.init_state(key)
             snr = jnp.full((tr_c.batch_frames,), 5.0, jnp.float32)
             state = {"s": st}
@@ -166,28 +173,24 @@ def main():
             best_t[k] = min(best_t[k], t_c)
             worst_t[k] = max(worst_t[k], t_c)
 
-    # bf16 is eligible for the headline only if its matched-seed training
-    # control passed (runs/p15_bf16_control.json: BER@5dB within 25%
-    # relative of the f32 arms) — perf must not ship a data path that
-    # trains measurably worse.
-    bf16_ok, bf16_ctl = False, None
+    # a fused variant is eligible for the headline only if its matched-seed
+    # training control passed (runs/p19_fused_train_control.json: BER@5dB
+    # within 25% relative of the XLA-autodiff arms) — perf must not ship a
+    # gradient path that trains measurably worse.
+    fused_ok = {"xla": True, "f32": False, "bf16": False}
+    fused_ctl = None
     ctl_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "runs", "p15_bf16_control.json")
+                            "runs", "p19_fused_train_control.json")
     if os.path.isfile(ctl_path):
         with open(ctl_path) as f:
             ctl = json.load(f)
-        f32_b = [v["bers"][k] for a, v in ctl.get("basic", {}).items()
-                 for k in ("5",) if a.startswith("f32")]
-        bf_b = [v["bers"][k] for a, v in ctl.get("basic", {}).items()
-                for k in ("5",) if a.startswith("bf16")]
-        if f32_b and bf_b:
-            bf16_ok = (sum(bf_b) / len(bf_b)) <= \
-                (sum(f32_b) / len(f32_b)) * 1.25
-            bf16_ctl = {"f32_ber5": f32_b, "bf16_ber5": bf_b,
-                        "verdict": "PASS" if bf16_ok else "FAIL"}
+        summ = ctl.get("summary", {})
+        fused_ok["f32"] = summ.get("fused_f32_verdict") == "PASS"
+        fused_ok["bf16"] = summ.get("fused_bf16_verdict") == "PASS"
+        fused_ctl = summ
 
     t_train, train_iq, tr, head_key = None, 0.0, None, None
-    per_size = {"f32": {}, "bf16": {}}
+    per_size = {"f32": {}, "bf16": {}, "xla": {}}
     spread = {}
     for (dk, bf), t_c in best_t.items():
         iq_c = bf * s * t / t_c
@@ -196,7 +199,7 @@ def main():
         spread[f"{dk}@{bf}"] = round(worst_t[(dk, bf)] / t_c, 3)
         log(f"train[{dk}] batch={bf} frames: {t_c*1e3:.3f} ms/step, "
             f"{iq_c/1e9:.2f}G IQ/s (spread x{spread[f'{dk}@{bf}']})")
-        if iq_c > train_iq and (dk == "f32" or bf16_ok):
+        if iq_c > train_iq and fused_ok[dk]:
             t_train, train_iq, tr, head_key = t_c, iq_c, \
                 trainers[(dk, bf)], (dk, bf)
 
@@ -321,10 +324,12 @@ def main():
                    f"{rounds} rounds across the full executable set"),
         "train_batch_frames": tr.batch_frames,
         "train_ms_per_step": round(t_train * 1e3, 3),
-        "headline_dtype": head_key[0],
-        "bf16_train_control": bf16_ctl,
+        "headline_grad_path": ("xla_autodiff" if head_key[0] == "xla" else
+                               f"fused_kernel_{head_key[0]}_matmul"),
+        "fused_train_control": fused_ctl,
         "per_batch_size": per_size["f32"],
         "per_batch_size_bf16": per_size["bf16"],
+        "per_batch_size_xla": per_size["xla"],
         "repeatability_spread_max_over_min": spread,
         "roofline_vs_v5e_peaks": roofline,
         "host_synthesis_ms": round(t_host * 1e3, 1),

@@ -48,12 +48,22 @@ class MatlabLinkOut:
 
 class MatlabLink:
     def __init__(self, plan: SubcarrierPlan, m_order: int,
-                 channel: str = "flat", mobile: bool = False):
+                 channel: str = "flat", mobile: bool = False,
+                 per_sample: bool = False):
+        """`per_sample=True` applies the mobile fading as MATLAB's
+        `filter(rayleighchan, x)` does — per-SAMPLE time-varying tap gains,
+        causal, state continuous across symbol boundaries within the frame
+        (`dev/m/OFDM_Benchmark_dev.m:277-311`) — instead of the
+        symbol-averaged FIR kernel (documented deviation #7).  The mobile
+        ground truth G then averages the SAME per-sample gains over every
+        sample instant in the symbol (exact G3d semantics, `:303-309`,
+        rather than the 8-instant approximation)."""
         self.plan = plan
         self.m = m_order
         self.nbits = int(np.log2(m_order))
         self.channel = channel.lower()
         self.mobile = mobile
+        self.per_sample = per_sample
         table = _matlab_table_np(m_order)
         self.table_iq = jnp.asarray(
             np.stack([table.real, table.imag], -1), jnp.float32)
@@ -99,6 +109,8 @@ class MatlabLink:
             return MatlabLinkOut(None, tx, g)
         coeff = jnp.asarray(p.ch_coeff, jnp.float32)
         alpha = jnp.asarray(p.alpha_matrix, jnp.float32)
+        if self.fd > 0.1 and self.per_sample:
+            return self._fade_per_sample(key, tx, coeff, alpha)
         if self.fd > 0.1:
             # MATLAB's mobile ground truth averages G over the sample
             # instants within each symbol (`OFDM_Benchmark_dev.m:303-309`);
@@ -130,6 +142,51 @@ class MatlabLink:
         else:
             flat = tx.reshape(b, s * n_sc, 2)
             y = fir.fir_same_iq(flat, gt[:, 0], offsets).reshape(tx.shape)
+        return MatlabLinkOut(None, y, g)
+
+    def _fade_per_sample(self, key: jax.Array, tx: jnp.ndarray,
+                         coeff: jnp.ndarray,
+                         alpha: jnp.ndarray) -> MatlabLinkOut:
+        """MATLAB-exact mobile fading: per-sample time-varying FIR.
+
+        y[n] = sum_f g[n, f] * x[n - f]   (causal, zero prefix — filter(h,x))
+        with g[n] = (z[n] o coeff) @ alpha, z[n] the Jakes gains at sample
+        instant n (state continuous across the frame, as `rayleighchan`
+        filtering is); ground truth G = fft(mean_n-in-symbol g[n]) — the
+        exact G3d averaging (`OFDM_Benchmark_dev.m:303-309`).
+
+        Implemented as a shift-and-accumulate over the n_fir taps (f32
+        elementwise complex MACs; no gathers): n_fir passes over the flat
+        [B, L, 2] waveform."""
+        plan = self.plan
+        b, s, n_sc, _ = tx.shape
+        p = self.profile
+        L = s * n_sc
+        t = jnp.arange(L, dtype=jnp.float32) / plan.sample_rate
+        z = jakes_gains_iq(key, jnp.full((b,), self.fd), t,
+                           p.n_taps)                     # [B, L, taps, 2]
+        a = z * coeff[None, None, :, None]               # scaled tap gains
+        # per-sample FIR kernels g[n] = a[n] @ alpha  -> [B, L, n_fir, 2]
+        g_ps = jnp.einsum("bltc,tf->blfc", a, alpha)
+        x = tx.reshape(b, L, 2)
+        xr, xi = x[..., 0], x[..., 1]
+        yr = jnp.zeros_like(xr)
+        yi = jnp.zeros_like(xi)
+        n_fir = alpha.shape[1]
+        for f in range(n_fir):
+            # x[n - f] with zero prefix (causal full-convolution head)
+            xr_s = jnp.pad(xr, ((0, 0), (f, 0)))[:, :L]
+            xi_s = jnp.pad(xi, ((0, 0), (f, 0)))[:, :L]
+            gr = g_ps[:, :, f, 0]
+            gi = g_ps[:, :, f, 1]
+            yr = yr + gr * xr_s - gi * xi_s
+            yi = yi + gr * xi_s + gi * xr_s
+        y = jnp.stack([yr, yi], axis=-1).reshape(tx.shape)
+        # ground truth: average the SAME gains over all samples per symbol
+        zck = z.reshape(b, s, n_sc, p.n_taps, 2).mean(axis=2)
+        gt = jnp.einsum("bstc,tf->bsfc",
+                        zck * coeff[None, None, :, None], alpha)
+        g = cfloat.dft_iq(gt, plan.nfft)
         return MatlabLinkOut(None, y, g)
 
     # -- noise ---------------------------------------------------------------

@@ -39,14 +39,23 @@ def render(d: dict, src: str) -> str:
         f"measured on the same machine (host-NumPy data plane + identical "
         f"device step; host->device copy excluded, so conservative);",
     ]
-    if d.get("headline_dtype"):
+    if d.get("headline_grad_path"):
+        ctl = d.get("fused_train_control") or {}
+        verdicts = ", ".join(f"{k.replace('_verdict', '')}: {v}"
+                             for k, v in ctl.items() if k.endswith("verdict"))
+        lines.append(
+            f"* headline gradient path: **{d['headline_grad_path']}** "
+            f"(fused-kernel eligibility gated on the matched-seed training "
+            f"control{', ' + verdicts if verdicts else ''});")
+    elif d.get("headline_dtype"):   # pre-round-5 artifacts
         ctl = d.get("bf16_train_control") or {}
         lines.append(
             f"* headline step activations: **{d['headline_dtype']}** "
             f"(bf16 eligibility gated on the matched-seed training control"
             f"{': ' + ctl['verdict'] if ctl.get('verdict') else ''});")
-    for key, label in (("per_batch_size", "f32"),
-                       ("per_batch_size_bf16", "bf16")):
+    for key, label in (("per_batch_size", "fused-f32"),
+                       ("per_batch_size_bf16", "fused-bf16"),
+                       ("per_batch_size_xla", "xla-autodiff")):
         per = d.get(key)
         if per:
             cells = ", ".join(

@@ -199,6 +199,56 @@ def test_matlab_link_mobile_runs():
     assert np.isfinite(ber) and ber < 0.4
 
 
+def test_matlab_link_per_sample_fade_matches_numpy_oracle():
+    """`per_sample=True` mobile fading (MATLAB `filter(rayleighchan, x)`
+    semantics, `OFDM_Benchmark_dev.m:277-311`): the vectorized
+    shift-and-accumulate must equal a literal per-sample NumPy convolution
+    y[n] = sum_f g[n,f] x[n-f] built from the same Jakes gains, and the
+    ground truth must be the DFT of the per-symbol MEAN kernel (G3d,
+    `:303-309`)."""
+    from dl_ofdm_tpu.channel.doppler import jakes_gains_iq
+    plan = build_plan(OFDMConfig())
+    link = MatlabLink(plan, 2, "etu", mobile=True, per_sample=True)
+    b = 3
+    key = jax.random.PRNGKey(5)
+    kf, kt = jax.random.split(key)
+    _, tx = link.transmit(kt, b)
+    out = link.fade(kf, tx)
+
+    p = link.profile
+    s, n_sc = plan.nsymbol, plan.samples_per_symbol
+    L = s * n_sc
+    t = np.arange(L) / plan.sample_rate
+    z = np.asarray(jakes_gains_iq(
+        kf, jnp.full((b,), link.fd), jnp.asarray(t, jnp.float32), p.n_taps))
+    zc = z[..., 0] + 1j * z[..., 1]                       # [B, L, taps]
+    g = (zc * p.ch_coeff) @ p.alpha_matrix                # [B, L, n_fir]
+    x = np.asarray(tx).reshape(b, L, 2)
+    xc = x[..., 0] + 1j * x[..., 1]
+    y_oracle = np.zeros((b, L), np.complex64)
+    for n in range(L):
+        for f in range(p.alpha_matrix.shape[1]):
+            if n - f >= 0:
+                y_oracle[:, n] += g[:, n, f] * xc[:, n - f]
+    got = np.asarray(out.y).reshape(b, L, 2)
+    got_c = got[..., 0] + 1j * got[..., 1]
+    np.testing.assert_allclose(got_c, y_oracle, rtol=2e-4, atol=2e-5)
+    # ground truth: fft of the within-symbol mean kernel
+    g_sym = g.reshape(b, s, n_sc, -1).mean(axis=2)
+    g_ref = np.fft.fft(g_sym, plan.nfft, axis=-1)[..., :plan.nfft]
+    gt = np.asarray(out.g)
+    gt_c = gt[..., 0] + 1j * gt[..., 1]
+    np.testing.assert_allclose(gt_c, g_ref, rtol=2e-4, atol=2e-5)
+
+
+def test_matlab_link_per_sample_mobile_ber_sane():
+    plan = build_plan(OFDMConfig())
+    link = MatlabLink(plan, 2, "etu", mobile=True, per_sample=True)
+    ctx = get_context(plan, "etu")
+    ber, _ = run_point(link, ctx, 2, jax.random.PRNGKey(9), 15.0, 60)
+    assert np.isfinite(ber) and ber < 0.4
+
+
 def test_cp_enhanced_static_cache_is_trace_safe():
     """Regression: `_static` must cache NumPy constants.  If the first call
     happens inside a jit trace (as in classical_rx.run_point), caching jnp
