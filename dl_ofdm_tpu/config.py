@@ -88,11 +88,17 @@ class TrainConfig:
                                    # 30 dB test point sitting beyond the
                                    # reference grid's 27 dB training edge
                                    # (see train/curriculum.py SNR_TAIL_*)
-    fused_model_matmul_dtype: str = "float32"  # GEMM input dtype inside the
-                                   # fused DCCN fwd+bwd kernel
-                                   # (ops/fused_model.py): 'float32' or
-                                   # 'bfloat16' (f32 accumulation either
-                                   # way; bf16 runs the MXU at full rate)
+    fused_model_matmul_dtype: str = "bfloat16"  # GEMM input dtype inside
+                                   # the fused DCCN fwd+bwd kernel
+                                   # (ops/fused_model.py): measured on chip
+                                   # (p19 control + direct probe) the two
+                                   # modes produce BIT-IDENTICAL gradients —
+                                   # Mosaic lowers the f32 dots to the same
+                                   # single-pass bf16-input MXU op — and the
+                                   # explicit bf16 casts only shrink VMEM
+                                   # operand traffic (~25% faster), so bf16
+                                   # is the default.  'float32' remains for
+                                   # CPU interpret-mode exactness (tests).
     best_metric: str = "ce"        # epoch best-model selection: 'ce' (default;
                                    # documented deviation — the metric the
                                    # gradient actually optimizes) or 'total'

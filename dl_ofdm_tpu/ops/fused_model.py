@@ -81,7 +81,15 @@ class ModelSpec:
                               # (the fused-synth chaining path) instead of
                               # normalized x planes
     matmul_dtype: str = "float32"   # 'float32' | 'bfloat16' GEMM inputs
-                                    # (f32 accumulation either way)
+                                    # (f32 accumulation either way).  On
+                                    # chip the two are BIT-IDENTICAL
+                                    # (Mosaic lowers f32 dots to the same
+                                    # single-pass bf16-input MXU op;
+                                    # measured, runs/p19_fused_train_
+                                    # control.json bit_identity_probe) —
+                                    # bf16 only shrinks VMEM operand
+                                    # traffic (~25% faster).  In interpret
+                                    # mode (CPU tests) f32 is real f32.
 
     @property
     def length(self) -> int:
