@@ -138,7 +138,8 @@ def run_benchmark(plan: SubcarrierPlan, channel: str, eq_idx: int,
                   longcp: bool = True, mobile: bool = False,
                   n_frames: int = 20000, snrs=tuple(range(-10, 31, 5)),
                   seed: int = 0, save_dir: str = ".", log_fn=print,
-                  mods=None, tag: str = "", save_tx_data: bool = False):
+                  mods=None, tag: str = "", save_tx_data: bool = False,
+                  per_sample: bool = False):
     """Full sweep for one (channel, estimator); writes the MATLAB-schema CSV.
 
     `mods=None` keeps MATLAB parity (all four modulations for AWGN, BPSK
@@ -149,6 +150,9 @@ def run_benchmark(plan: SubcarrierPlan, channel: str, eq_idx: int,
     (row 1+index in the canonical modulation order).  `tag` is appended to
     the filename so such extended sweeps never collide with parity CSVs.
     """
+    if per_sample and not tag:
+        # never overwrite the symbol-averaged parity CSVs (frozen schema)
+        tag = "_persample"
     is_awgn = channel.lower() == "awgn"
     mod_order = (2, 4, 8, 16)
     ber_all = np.zeros((5, len(snrs)))
@@ -173,7 +177,10 @@ def run_benchmark(plan: SubcarrierPlan, channel: str, eq_idx: int,
     mod_names = {2: "BPSK", 4: "QPSK", 8: "8QAM", 16: "16QAM"}
     for m in mods:
         mi = mod_order.index(m)
-        link = MatlabLink(plan, m, channel, mobile)
+        # per_sample: MATLAB-exact per-sample time-varying mobile fading
+        # (matlab_link.py; measured delta vs the symbol-averaged kernel
+        # <=0.07% at MATLAB Doppler rates, runs/p19_mobile_per_sample.json)
+        link = MatlabLink(plan, m, channel, mobile, per_sample=per_sample)
         beta = E.BETAS[m]
         for si, snr in enumerate(snrs):
             key, k = jax.random.split(key)

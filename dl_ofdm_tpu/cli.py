@@ -160,7 +160,7 @@ def cmd_baseline(args):
     plan = build_plan(cfg)
     run_benchmark(plan, args.channel, args.opt or 1, longcp=args.longcp,
                   mobile=args.mobile, n_frames=args.frames,
-                  save_dir=args.save_dir)
+                  save_dir=args.save_dir, per_sample=args.per_sample)
 
 
 def cmd_sweep(args):
@@ -177,6 +177,9 @@ def main(argv=None):
         _add_common(p)
         if name == "baseline":
             p.add_argument("--frames", type=int, default=20000)
+            p.add_argument("--per_sample", type=_bool, default=False,
+                           help="MATLAB-exact per-sample time-varying "
+                                "mobile fading (vs symbol-averaged kernel)")
         if name == "sweep":
             p.add_argument("--awgn", type=_bool, default=True)
             p.add_argument("--quick", type=_bool, default=False)
