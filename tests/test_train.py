@@ -324,6 +324,24 @@ def test_resume_payload_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_fused_curriculum_auto_threshold():
+    """Round-5 VERDICT #6: the fused curriculum plane auto-enables above
+    FUSED_CURRICULUM_MIN_FRAMES frames/step and stays off at the reference
+    batch (73 frames)."""
+    from dl_ofdm_tpu.train.equalizer_loop import (
+        FUSED_CURRICULUM_MIN_FRAMES, EqualizerTrainer)
+
+    cfg = OFDMConfig(nbits=1)
+    small = EqualizerTrainer(cfg, TrainConfig(snr=5.0, batch_size=512),
+                             channel="mixRayleigh")
+    assert not small.fused_curriculum
+    big = EqualizerTrainer(
+        cfg, TrainConfig(snr=5.0,
+                         batch_size=7 * FUSED_CURRICULUM_MIN_FRAMES),
+        channel="mixRayleigh")
+    assert big.fused_curriculum
+
+
 def test_params_npz_roundtrip(tmp_path):
     """export_params_npz/load_params_npz: the committed-arm archive format
     (round-5 VERDICT #2) preserves the nested param tree exactly, and a
