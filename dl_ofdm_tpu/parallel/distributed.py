@@ -69,6 +69,10 @@ def scaling_efficiency(make_step, make_args, device_counts=(1, 2, 4, 8),
         step, args = make_step(n), make_args(n)
         dt = bench_steps(lambda i: step(*args), iters=iters,
                          fence_cost=fence_cost)
+        # the fence-cost subtraction can push a near-zero step negative
+        # under host load (a 1-2 ms CPU step vs a ~25 ms tunnel fence);
+        # clamp so the returned rate stays physical
+        dt = max(dt, 1e-9)
         results[n] = 1.0 / dt
         eff = weak_scaling_efficiency(results)[n]
         log_fn(f"{n} devices: {dt*1e3:.2f} ms/step, "

@@ -55,7 +55,7 @@ def tpcheck():
     from dl_ofdm_tpu.train.checkpoint import load_params_npz
     from dl_ofdm_tpu.train.loop import Trainer
 
-    cfg = OFDMConfig(nbits=1, nfft=512)
+    cfg = OFDMConfig(nbits=1, nfft=512, nfilter=512)
     tc = TrainConfig(snr=5.0, batch_size=56)
     mesh = make_mesh(jax.devices(), dp=4, tp=2)
     tr = Trainer(cfg, tc, channel="AWGN", mesh=mesh)
@@ -101,7 +101,13 @@ def main():
 
     enable_persistent_cache()
     report = json.load(open(OUT)) if os.path.isfile(OUT) else {}
-    cfg = OFDMConfig(nbits=1, nfft=512, compute_dtype="bfloat16")
+    # nfilter MUST scale with the grid: the fft_like stage is the learned
+    # DFT replacement, so it needs >= nfft filters to represent the
+    # transform (first attempt with the nfft=64 default nfilter=64 floored
+    # at BER ~0.24 — an under-parameterized 512->64 projection, not a
+    # training failure; same rule as the dryrun's nfft=1024/nfilter=1024)
+    cfg = OFDMConfig(nbits=1, nfft=512, nfilter=512,
+                     compute_dtype="bfloat16")
     tc = TrainConfig(snr=5.0, batch_size=512, max_epoch_num=300,
                      early_stop=100, token=TOKEN, save_dir=RUNS, seed=1)
     tr = Trainer(cfg, tc, channel="AWGN")
