@@ -116,7 +116,17 @@ class Trainer:
         # operator the kernel would blow the 16 MB scoped-VMEM budget (and
         # Mosaic compile time grows sharply), so big grids keep the jnp chain
         tx_op_bytes = 2 * 4 * self.plan.frame_size * self.plan.samples_per_symbol
-        if cfg.nbits <= 4 and tx_op_bytes <= 2 * 2**20:
+        # block-type pilot plans put pilots on ENTIRE OFDM symbols
+        # (`dev/py/ofdm.py:240-252`), leaving those symbols with zero data
+        # subcarriers — the kernel's per-symbol constellation slice would be
+        # zero-width (Mosaic rejects 0-sized vectors; found by the round-5
+        # end-to-end pilot-scheme exercise).  Such plans keep the jnp chain.
+        import numpy as _np0
+        sym_counts = _np0.bincount(
+            _np0.asarray(self.plan.data_sc) // cfg.nfft,
+            minlength=self.plan.nsymbol)
+        if cfg.nbits <= 4 and tx_op_bytes <= 2 * 2**20 \
+                and sym_counts.min() > 0:
             import numpy as _np
             profs = [None if ch._passthrough[i] else p
                      for i, p in enumerate(ch.profiles)]

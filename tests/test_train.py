@@ -324,6 +324,27 @@ def test_resume_payload_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_block_pilot_plan_gates_fused_synth_off():
+    """Block-type pilot plans have whole OFDM symbols with zero data
+    subcarriers (`dev/py/ofdm.py:240-252`); the fused synth kernel's
+    per-symbol constellation slice would be zero-width (Mosaic rejects
+    0-sized vectors — found by the round-5 end-to-end pilot exercise), so
+    those plans must keep the jnp chain.  The other schemes stay eligible
+    for the kernel."""
+    for scheme, eligible in (("lte", True), ("scattered", True),
+                             ("block", False), ("comb", True)):
+        tr = Trainer(OFDMConfig(nbits=1, pilot=scheme),
+                     TrainConfig(snr=5.0, batch_size=56), channel="AWGN")
+        assert (tr._fused_synth_spec is not None) == eligible, scheme
+        # and the step itself runs on the jnp path
+        if not eligible:
+            state = tr.init_state(jax.random.PRNGKey(0))
+            state, aux = tr.train_step(
+                state, jax.random.PRNGKey(1),
+                jnp.full((tr.batch_frames,), 5.0, jnp.float32))
+            assert np.isfinite(float(aux["ce"]))
+
+
 def test_fused_curriculum_auto_threshold():
     """Round-5 VERDICT #6: the fused curriculum plane auto-enables above
     FUSED_CURRICULUM_MIN_FRAMES frames/step and stays off at the reference
