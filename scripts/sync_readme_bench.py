@@ -77,13 +77,25 @@ def render(d: dict, src: str) -> str:
             f"{rf['tflops_per_sec']} TFLOP/s ({rf['pct_bf16_peak']}% of "
             f"bf16 peak), {rf['hbm_gb_per_sec']} GB/s HBM "
             f"({rf['pct_hbm_peak']}% of ~819 GB/s);")
+    # the forward-only microbenchmark is dispatch-noise-prone on this
+    # tunneled backend once many executables are co-resident (round-5
+    # measurements ranged 2.4-138 G for the identical program; 138 G
+    # exceeds the hardware's compute-peak bound, so the timing, not the
+    # program, moved) — flag any physically impossible reading
+    PEAK_FWD_G = 80.0   # ~197 TFLOP/s bf16 / ~1.4 MFLOP-per-frame bound
+    sus = (d["fwd_iq_per_sec"] / 1e9 > PEAK_FWD_G
+           or d["fwd_bf16_iq_per_sec"] / 1e9 > PEAK_FWD_G)
     lines.append(
         f"* receiver forward alone: "
         f"**{d['fwd_iq_per_sec'] / 1e9:.1f}G IQ samples/s/chip** "
         f"(bf16 activations: {d['fwd_bf16_iq_per_sec'] / 1e9:.1f}G), "
         f"{1 / d['fwd_vs_conv3d_formulation']:.2f}x step time of the "
         f"reference's conv3d-over-depth formulation on the same device "
-        f"= {d['fwd_vs_conv3d_formulation']:.1f}x faster;")
+        f"= {d['fwd_vs_conv3d_formulation']:.1f}x faster"
+        + (" — UNRELIABLE this run: exceeds the compute-peak bound, a "
+           "co-resident-executable timing artifact (aux metric; the "
+           "headline uses the interleaved protocol)" if sus else "")
+        + ";")
     lines.append(f"  <sub>source artifact: `{src}` "
                  f"(regenerate with `python scripts/sync_readme_bench.py`)"
                  f"</sub>")
