@@ -71,24 +71,26 @@ class EqualizerTrainer(Trainer):
                             if tc.curriculum_offset is not None
                             else modulation_offset_db(cfg.nbits))
         # fused data plane for the curriculum: AUTO above a batch threshold
-        # (round-5 VERDICT #6).  History: the round-3 single-seed control
-        # (`runs/p14_doppler_control.json`) read as a training-quality FAIL
-        # for the fused Doppler plane; the round-4 root-cause
-        # (`runs/p15_doppler_rootcause.json`, scripts/doppler_rootcause.py)
-        # EXONERATED the kernel — on-chip distribution probes (ZF
-        # self-consistency EVM, H autocorrelation vs the analytic
-        # sum-of-sinusoids, noise moments) match the jnp oracle exactly,
-        # and a 3-arm x 2-seed control showed the FAIL was seed-to-seed
-        # training variance.  With correctness settled, the default is pure
-        # economics: at the reference batch (73 frames/step) the kernel's
-        # throughput edge is negligible while its first Mosaic compile is
-        # minutes (amortized across runs by utils/cache.py persistent
-        # cache), so it engages only when the batch is large enough for
-        # the edge to matter.  runs/p19_fused_curriculum.json carries the
-        # matched-seed control + throughput delta for the flipped default;
-        # assign the attribute to override either way.
+        # for STATIC mixes (round-5 VERDICT #6).  History: the round-3
+        # single-seed control (`runs/p14_doppler_control.json`) read as a
+        # training-quality FAIL for the fused Doppler plane; the round-4
+        # root-cause (`runs/p15_doppler_rootcause.json`,
+        # scripts/doppler_rootcause.py) EXONERATED the kernel — on-chip
+        # distribution probes (ZF self-consistency EVM, H autocorrelation
+        # vs the analytic sum-of-sinusoids, noise moments) match the jnp
+        # oracle exactly, and a 3-arm x 2-seed control showed the FAIL was
+        # seed-to-seed training variance.  With correctness settled, the
+        # default is economics + toolchain: at the reference batch
+        # (73 frames/step) the kernel's edge is negligible vs its first
+        # Mosaic compile; and the MOBILE mixRayleigh + in-kernel-H variant
+        # is deterministically SIGKILLed by this image's AOT compile
+        # helper (787 KB MLIR, reproduced 2/2 — runs/experiments19.log
+        # phase-19), so mobile curricula keep the jnp chain regardless of
+        # batch.  runs/p19_fused_curriculum.json carries the static
+        # control + throughput delta; assign the attribute to override.
         self.fused_curriculum = (
-            self.batch_frames >= FUSED_CURRICULUM_MIN_FRAMES)
+            self.batch_frames >= FUSED_CURRICULUM_MIN_FRAMES
+            and not getattr(self.channel, "mobile", False))
 
     def _install_optimizer(self, params) -> None:
         """Build the Equalizer-scope-masked optimizer + gradient mask for a

@@ -4,10 +4,14 @@ auto-enable (round-5 VERDICT #6).
 The fused Pallas data plane was exonerated in round 4
 (runs/p15_doppler_rootcause.json) but stayed default-off; the default is
 now auto-on above FUSED_CURRICULUM_MIN_FRAMES frames/step
-(train/equalizer_loop.py).  This script reruns a mobile equalizer arm at a
-batch above the threshold on BOTH planes (fused vs jnp), two seeds each
-(matched), compares tail validation BER, and measures the steady-state
-curriculum step time on each plane.
+(train/equalizer_loop.py).  This script reruns a STATIC mixRayleigh equalizer arm
+at a batch above the threshold on BOTH planes (fused vs jnp), two seeds
+each (matched), compares tail validation BER, and measures the
+steady-state curriculum step time on each plane.  (The MOBILE fused
+variant is excluded: its mixRayleigh + in-kernel-H Mosaic compile is
+deterministically SIGKILLed by this image's AOT compile helper — 787 KB
+MLIR, reproduced 2/2, runs/experiments19.log — so mobile curricula keep
+the jnp chain regardless of batch and the auto-enable is static-only.)
 
 Writes runs/p19_fused_curriculum.json (resumable per arm).
 Usage: python scripts/fused_curriculum_control.py   (chip must be free)
@@ -48,7 +52,7 @@ def _mk(seed, fused):
                      max_epoch_num=EPOCHS, early_stop=EPOCHS,
                      token=f"p19fc_{fused}_{seed}", save_dir="/tmp/p19fc",
                      seed=seed, opt=12)
-    eq = EqualizerTrainer(cfg, tc, channel="mixRayleigh", mobile=True,
+    eq = EqualizerTrainer(cfg, tc, channel="mixRayleigh", mobile=False,
                           pretrained_rx=bstate.params, freeze_rx=False)
     eq.fused_curriculum = fused
     return eq
