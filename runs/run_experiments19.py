@@ -183,11 +183,70 @@ def opt0rebuild(seed: int):
                    "secs": round(time.time() - t0, 1)}, fp, indent=1)
 
 
+def zfcontinue(seed: int):
+    """2mod mobile arm via CONTINUATION from the committed 2mod STATIC ZF
+    arm (the converse of round-4's successful mobile->static xrebuild):
+    fresh mobile fits consistently land in an EVA-weak basin (tail rebuild
+    p17 AND standard rebuild s101 both gate-FAILED on EVA), while the
+    static arm's EVA cells are strong — a low-LR mobile fine-tune from it
+    should keep them."""
+    nbits, mobile = 2, True
+    snr = 5.0 * nbits
+    token = base_token(nbits, snr, True)
+    marker = os.path.join(RUNS, f"p19_zfcontinue_{token}_s{seed}.json")
+    if os.path.isfile(marker):
+        log(f"skip zfcontinue s{seed} (marker exists)")
+        return
+    if _already_passed(f"p19_zfrebuild_{token}") or \
+            _already_passed(f"p19_zfcontinue_{token}"):
+        log(f"skip zfcontinue s{seed} (an earlier attempt already passed)")
+        return
+    import jax.numpy as jnp
+
+    from dl_ofdm_tpu.train.checkpoint import load_params_npz
+    from dl_ofdm_tpu.train.loop import TrainState
+    shipped = {c: _committed_csv(token, c, mobile, OPT) for c in GATE_CHANS}
+    log(f"zfcontinue s{seed}: committed {shipped}")
+    cfg, token, base_params = ensure_awgn_base(
+        nbits=nbits, snr=snr, epochs=BASE_EPOCHS[nbits])
+    tc = TrainConfig(snr=snr, batch_size=512, max_epoch_num=300,
+                     early_stop=300, token=token, save_dir=RUNS, opt=OPT,
+                     seed=seed, init_learning=2e-4, lr_decay_steps=2000)
+    # source: the committed static canonical arm (npz archive — works even
+    # after a checkpoint-dir cleanup)
+    static_params = load_params_npz(os.path.join(
+        RUNS, "arms", f"{token}_Equalizer{OPT}_mixRayleigh.npz"))
+    eq = EqualizerTrainer(cfg, tc, channel="mixRayleigh", mobile=True,
+                          pretrained_rx=base_params, freeze_rx=False)
+    params0 = jax.tree.map(jnp.asarray, static_params)
+    st = TrainState(params0, eq.optimizer.init(params0),
+                    jnp.zeros((), jnp.int32))
+    t0 = time.time()
+    state, info = eq.fit(init_state=st, log_fn=lambda *a: None)
+    probe = _probe(cfg, tc, base_params, state.params, mobile)
+    ok = _gate(probe, shipped)
+    name = f"{token}_Equalizer{OPT}_mixRayleigh_mobile"
+    save_to = name if ok else f"{name}_r5c{seed}"
+    ckpt.save(os.path.join(RUNS, save_to), state)
+    log(f"zfcontinue s{seed}: probe={probe} gate={'PASS' if ok else 'FAIL'}")
+    if ok:
+        resweep(nbits, mobile)
+        _export_arm(name)
+    with open(marker, "w") as fp:
+        json.dump({"recipe": "static_to_mobile_continuation300",
+                   "seed": seed, "committed_csv": shipped,
+                   "parity_probe_30k": probe, "gate_pass": bool(ok),
+                   "canonical_csvs_updated": bool(ok), "saved_as": save_to,
+                   "secs": round(time.time() - t0, 1)}, fp, indent=1)
+
+
 if __name__ == "__main__":
     if len(sys.argv) >= 3 and sys.argv[1] == "zfrebuild":
         zfrebuild(int(sys.argv[2]))
     elif len(sys.argv) >= 3 and sys.argv[1] == "opt0rebuild":
         opt0rebuild(int(sys.argv[2]))
+    elif len(sys.argv) >= 3 and sys.argv[1] == "zfcontinue":
+        zfcontinue(int(sys.argv[2]))
     else:
         print(__doc__)
         sys.exit(2)
