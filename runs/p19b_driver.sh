@@ -35,8 +35,8 @@ step() {
   fi
 }
 
-step 3600 python scripts/fused_curriculum_control.py
 step 5400 python runs/run_experiments19.py zfcontinue 121
+step 3600 python scripts/fused_curriculum_control.py
 step 7200 python scripts/claim_cell_ci_r5.py
 step 1200 python3 -c "import jax; jax.config.update('jax_platforms','cpu'); import runpy; runpy.run_path('runs/make_results.py', run_name='__main__')"
 echo "[driver19b $(date +%H:%M:%S)] PHASE19B DONE" >>"$LOG"
