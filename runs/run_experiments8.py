@@ -56,9 +56,23 @@ def ensure_awgn_base(nbits: int = 1, snr: float = 5.0, epochs: int = 300,
                      early_stop=100, token=token, save_dir=RUNS)
     tr = Trainer(cfg, tc, channel="AWGN")
     ckpt_dir = os.path.join(RUNS, token)
+    arm_npz = os.path.join(RUNS, "arms", f"{token}.npz")
     if os.path.isdir(ckpt_dir):
         state = ckpt.restore(ckpt_dir, tr.init_state(jax.random.PRNGKey(0)))
         log(f"base {token}: restored checkpoint")
+    elif os.path.isfile(arm_npz):
+        # the round boundary cleans gitignored checkpoint dirs (CLAUDE.md);
+        # the committed float32 arm archive is the durable source of truth
+        # since round 5 — restore it instead of retraining a fresh base,
+        # and re-materialize the checkpoint dir for downstream restores.
+        import jax.numpy as jnp
+
+        from dl_ofdm_tpu.train.loop import TrainState
+        params = jax.tree.map(jnp.asarray, ckpt.load_params_npz(arm_npz))
+        state = TrainState(params, tr.optimizer.init(params),
+                           jnp.zeros((), jnp.int32))
+        ckpt.save(ckpt_dir, state)
+        log(f"base {token}: restored committed arm archive {arm_npz}")
     else:
         t0 = time.time()
         state, info = tr.fit(log_fn=lambda *a: None)
