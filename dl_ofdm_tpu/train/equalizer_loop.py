@@ -82,15 +82,18 @@ class EqualizerTrainer(Trainer):
         # seed-to-seed training variance.  With correctness settled, the
         # default is economics + toolchain: at the reference batch
         # (73 frames/step) the kernel's edge is negligible vs its first
-        # Mosaic compile; and the MOBILE mixRayleigh + in-kernel-H variant
-        # is deterministically SIGKILLed by this image's AOT compile
-        # helper (787 KB MLIR, reproduced 2/2 — runs/experiments19.log
-        # phase-19), so mobile curricula keep the jnp chain regardless of
-        # batch.  runs/p19_fused_curriculum.json carries the static
-        # control + throughput delta; assign the attribute to override.
-        self.fused_curriculum = (
-            self.batch_frames >= FUSED_CURRICULUM_MIN_FRAMES
-            and not getattr(self.channel, "mobile", False))
+        # Mosaic compile; and on this image the curriculum variant does
+        # not COMPILE at all — the AOT compile helper SIGKILLs the Mosaic
+        # compile of the mobile in-kernel-H variant (787 KB MLIR, 2/2)
+        # AND the static mixRayleigh variant at every probed batch
+        # (512/1024/2048 frames/step, runs/p19_fused_compile_probe.json),
+        # so the planned >=FUSED_CURRICULUM_MIN_FRAMES auto-enable can
+        # never be satisfied here.  Default off; assign the attribute to
+        # opt in where the toolchain can compile it (the CPU interpreter
+        # path used by the tests, or a TPU image with an in-process
+        # compiler).  The fused plane remains load-bearing for the basic
+        # Trainer (bench headline), whose smaller module compiles fine.
+        self.fused_curriculum = False
 
     def _install_optimizer(self, params) -> None:
         """Build the Equalizer-scope-masked optimizer + gradient mask for a

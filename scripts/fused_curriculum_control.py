@@ -15,6 +15,14 @@ the jnp chain regardless of batch and the auto-enable is static-only.)
 
 Writes runs/p19_fused_curriculum.json (resumable per arm).
 Usage: python scripts/fused_curriculum_control.py   (chip must be free)
+
+OUTCOME (p19b): never completed on this image — the STATIC fused
+curriculum compile is ALSO SIGKILLed by the AOT helper (651 KB MLIR), at
+every probed batch down to 512 frames/step
+(scripts/fused_curriculum_compile_probe.py ->
+runs/p19_fused_compile_probe.json).  `fused_curriculum` therefore
+defaults OFF at every batch and stays an explicit opt-in; this control
+remains runnable on an image whose toolchain can compile the variant.
 """
 import json
 import os

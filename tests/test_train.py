@@ -345,22 +345,23 @@ def test_block_pilot_plan_gates_fused_synth_off():
             assert np.isfinite(float(aux["ce"]))
 
 
-def test_fused_curriculum_auto_threshold():
-    """Round-5 VERDICT #6: the fused curriculum plane auto-enables above
-    FUSED_CURRICULUM_MIN_FRAMES frames/step and stays off at the reference
-    batch (73 frames)."""
+def test_fused_curriculum_default_off_and_opt_in():
+    """Round-5 VERDICT #6 outcome: the fused curriculum plane defaults OFF
+    at every batch — the image's AOT compile helper SIGKILLs its Mosaic
+    compile at all probed batches (runs/p19_fused_compile_probe.json) so
+    the planned auto-enable is unsatisfiable — and remains an explicit
+    attribute opt-in (exercised by the fused-synth parity tests on the
+    CPU interpreter path)."""
     from dl_ofdm_tpu.train.equalizer_loop import (
         FUSED_CURRICULUM_MIN_FRAMES, EqualizerTrainer)
 
     cfg = OFDMConfig(nbits=1)
-    small = EqualizerTrainer(cfg, TrainConfig(snr=5.0, batch_size=512),
-                             channel="mixRayleigh")
-    assert not small.fused_curriculum
-    big = EqualizerTrainer(
-        cfg, TrainConfig(snr=5.0,
-                         batch_size=7 * FUSED_CURRICULUM_MIN_FRAMES),
-        channel="mixRayleigh")
-    assert big.fused_curriculum
+    for batch in (512, 7 * FUSED_CURRICULUM_MIN_FRAMES):
+        eq = EqualizerTrainer(cfg, TrainConfig(snr=5.0, batch_size=batch),
+                              channel="mixRayleigh")
+        assert not eq.fused_curriculum
+    eq.fused_curriculum = True   # opt-in stays assignable
+    assert eq.fused_curriculum
 
 
 def test_params_npz_roundtrip(tmp_path):
