@@ -73,18 +73,39 @@ def _role(name):
     opt, mix = int(m.group(4)), m.group(5)
     info = {"kind": "equalizer", "nbits": nbits, "mobile": mobile,
             "opt": opt, "train_mix": mix}
-    # gate status from the rebuild markers
+    # gate status from the rebuild markers.  Phase-19 markers
+    # (zfrebuild/zfcontinue/opt0rebuild, per-seed) record `saved_as`
+    # explicitly: one whose saved_as == this canonical name describes the
+    # arm that actually sits here and OVERRIDES the round-4 p17/p18
+    # provenance (a later gate-PASS rebuild replaces the dir the old
+    # marker described — e.g. the 2mod-mobile static-to-mobile
+    # continuation over the p17 tail rebuild).
     suffix = "_mobile" if mobile else ""
     base = re.sub(r"_Equalizer.*$", "", name)
-    for tag in ("p18_graftrebuild", "p18_xrebuild", "p17_rebuild"):
-        p = os.path.join(RUNS, f"{tag}_{base}{suffix}.json")
-        if os.path.isfile(p):
-            d = json.load(open(p))
-            if d.get("saved_as") not in (None, name) and tag != "p17_rebuild":
-                continue   # marker describes an aside arm, not this dir
+    # p19 marker filenames carry the bare base token (no _mobile suffix);
+    # the saved_as equality below is what ties a marker to this dir
+    p19 = [q for tag in ("p19_zfcontinue", "p19_zfrebuild",
+                         "p19_opt0rebuild")
+           for q in sorted(glob.glob(
+               os.path.join(RUNS, f"{tag}_{base}_s*.json")))]
+    claimed = False
+    for q in p19:
+        d = json.load(open(q))
+        if d.get("saved_as") == name:
             info["recipe"] = d.get("recipe")
             info["gate_pass"] = d.get("gate_pass")
-            break
+            claimed = True
+    if not claimed:
+        for tag in ("p18_graftrebuild", "p18_xrebuild", "p17_rebuild"):
+            p = os.path.join(RUNS, f"{tag}_{base}{suffix}.json")
+            if os.path.isfile(p):
+                d = json.load(open(p))
+                if d.get("saved_as") not in (None, name) \
+                        and tag != "p17_rebuild":
+                    continue   # marker describes an aside arm, not this dir
+                info["recipe"] = d.get("recipe")
+                info["gate_pass"] = d.get("gate_pass")
+                break
     if is_tail or info.get("gate_pass") is False:
         # gate-failed fresh arm parked at the canonical name: its sweeps
         # live under the Tail tag (run_experiments17.tagsweep)
@@ -136,6 +157,18 @@ def main(force=False):
                   f"{os.path.getsize(out)/1e6:.2f} MB")
         role["npz"] = os.path.basename(out)
         role["sha_source_dir"] = name
+        manifest[name] = role
+    # archive-only entries (checkpoint dir cleaned at a round boundary):
+    # refresh the marker-derived metadata too, so a gate-PASS rebuild
+    # recorded after the dir vanished still corrects recipe/gate/tag
+    for name, old in list(manifest.items()):
+        if os.path.isdir(os.path.join(RUNS, name)):
+            continue
+        role = _role(name)
+        if role is None:
+            continue
+        role["npz"] = old.get("npz", name + ".npz")
+        role["sha_source_dir"] = old.get("sha_source_dir", name)
         manifest[name] = role
     with open(manifest_path, "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
