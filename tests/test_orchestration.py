@@ -163,3 +163,80 @@ class TestMesh:
         br_spec = out["fft_like"]["br"].sharding.spec
         assert wr_spec == P(None, "tp")
         assert br_spec == P()
+
+
+class TestArchiveRecovery:
+    """Round-5 durability machinery: the committed `runs/arms/` archives are
+    the source of truth across round-boundary checkpoint cleanups
+    (CLAUDE.md; reference checkpoint-name schema
+    `dev/py/ofdmreceiver_np_mp.py:349-352`)."""
+
+    def _import_from(self, path, name):
+        import importlib.util
+        spec = importlib.util.spec_from_file_location(name, path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    def test_ensure_awgn_base_restores_committed_archive(
+            self, tmp_path, monkeypatch):
+        """A cleaned base checkpoint dir is rebuilt from the committed npz
+        archive instead of retraining (run_experiments8.ensure_awgn_base)."""
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        r8 = self._import_from(
+            os.path.join(repo, "runs", "run_experiments8.py"), "_r8_test")
+        monkeypatch.setattr(r8, "RUNS", str(tmp_path))
+        token = r8.base_token(1, 5.0, True)
+        # commit an "archive": freshly initialized params for this config
+        from dl_ofdm_tpu.train.loop import Trainer
+        tr = Trainer(OFDMConfig(nbits=1),
+                     TrainConfig(snr=5.0, batch_size=8, max_epoch_num=1,
+                                 token=token, save_dir=str(tmp_path)),
+                     channel="AWGN")
+        params = tr.init_state(jax.random.PRNGKey(7)).params
+        os.makedirs(tmp_path / "arms", exist_ok=True)
+        ckpt.export_params_npz(str(tmp_path / "arms" / f"{token}.npz"),
+                               params)
+        # pre-seed the AWGN sweep CSV so no sweep (or training) runs
+        (tmp_path / f"Test_DCCN_{token}_AWGN.csv").write_text("SNR,BER,Loss\n")
+        _, _, restored = r8.ensure_awgn_base(nbits=1, snr=5.0, epochs=1)
+        for a, b in zip(jax.tree_util.tree_leaves(params),
+                        jax.tree_util.tree_leaves(restored)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+        # and the checkpoint dir is re-materialized for downstream restores
+        assert (tmp_path / token).is_dir()
+
+    def test_export_arms_role_prefers_p19_markers(self, tmp_path,
+                                                  monkeypatch):
+        """Manifest provenance: a phase-19 marker whose saved_as names the
+        canonical dir overrides the stale round-4 p17 provenance (the
+        continuation-rebuilt arm must not be labeled as the gate-failed
+        tail rebuild)."""
+        import json as _json
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        ea = self._import_from(
+            os.path.join(repo, "scripts", "export_arms.py"), "_ea_test")
+        monkeypatch.setattr(ea, "RUNS", str(tmp_path))
+        base = "OFDM_Dense3_2mod_snr10_cpTrue"
+        name = f"{base}_Equalizer12_mixRayleigh_mobile"
+        (tmp_path / f"p17_rebuild_{base}_mobile.json").write_text(
+            _json.dumps({"recipe": "fresh600_tail_curriculum",
+                         "gate_pass": False, "saved_as": name}))
+        # stale p17 provenance alone -> tail-tagged, gate FAIL
+        role = ea._role(name)
+        assert role["gate_pass"] is False
+        assert role["sweep_tag"] == "mixRayleighTail"
+        # a later gate-PASS p19 marker for the same canonical name wins
+        (tmp_path / f"p19_zfcontinue_{base}_s121.json").write_text(
+            _json.dumps({"recipe": "static_to_mobile_continuation300",
+                         "gate_pass": True, "saved_as": name}))
+        role = ea._role(name)
+        assert role["recipe"] == "static_to_mobile_continuation300"
+        assert role["gate_pass"] is True
+        assert role["sweep_tag"] == "mixRayleigh"
+        # an aside-saved (gate FAIL) p19 marker does NOT claim the dir
+        (tmp_path / f"p19_zfrebuild_{base}_s101.json").write_text(
+            _json.dumps({"recipe": "fresh600_standard_curriculum_joint_zf",
+                         "gate_pass": False, "saved_as": name + "_r5s101"}))
+        role = ea._role(name)
+        assert role["recipe"] == "static_to_mobile_continuation300"
