@@ -232,6 +232,11 @@ def main():
     log(f"{len(thin)}/{len(cells)} claim cells have margin < {args.margin}x:"
         f" {[c['cfg'] for c in thin]}")
     report["thin_cells"] = [c["cfg"] for c in thin]
+    # persist the refreshed thin set immediately: on a rerun where every
+    # cell is already adjudicated (e.g. after a rebuilt arm widens the
+    # QPSK-mobile margins) the loop below writes nothing
+    with open(OUT, "w") as f:
+        json.dump(report, f, indent=1)
 
     # already-adjudicated round-4 cells keep their deeper 120k study
     r4 = json.load(open(os.path.join(RUNS, "p15_claim_cell_ci.json"))) \
