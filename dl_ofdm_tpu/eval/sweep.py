@@ -79,11 +79,9 @@ def ber_sweep(trainer, params, key: jax.Array,
     snrs = list(snrs)
     n_pts = len(snrs)
     if point_batch:
-        if mesh is not None:
-            raise NotImplementedError(
-                "point_batch is a single-device reference-parity protocol")
         return _ber_sweep_point_batch(trainer, params, key, snrs,
-                                      frames_per_point, batch_frames, log_fn)
+                                      frames_per_point, batch_frames, log_fn,
+                                      mesh=mesh)
     n_dev = 1 if mesh is None else mesh.shape["dp"]
     rep = max(1, batch_frames // n_pts)
     # each device must hold enough frames per SNR point for meaningful
@@ -167,17 +165,25 @@ def ber_sweep(trainer, params, key: jax.Array,
 
 
 def _ber_sweep_point_batch(trainer, params, key, snrs, frames_per_point,
-                           batch_frames, log_fn):
+                           batch_frames, log_fn, mesh=None):
     """Reference-parity sweep: one SNR per batch, power-normalization
-    statistics over the whole batch (see `ber_sweep(point_batch=True)`)."""
+    statistics over the whole batch (see `ber_sweep(point_batch=True)`).
+
+    With `mesh` (a ('dp', ...) Mesh) the protocol composes with data
+    parallelism EXACTLY: each device synthesizes `batch_frames/dp` frames
+    from a per-device fold of the point key, the normalization moments
+    (sum, sum-of-squares over the batch axis) are `psum`'d over 'dp' before
+    normalizing — so every device normalizes with the statistics of the FULL
+    `batch_frames` batch, matching the single-device protocol (the
+    reference's one-session.run-per-point normalization,
+    `ofdmreceiver_np_mp.py:89`) up to float reduction order — and the
+    error/CE counts are `psum`'d.  Verified bit-tight against an explicit
+    single-process control in `tests/test_parallel.py`."""
     from dl_ofdm_tpu.train import metrics as M
 
     batch_frames = min(batch_frames, frames_per_point)
 
-    @jax.jit
-    def point_eval(params, key, snr_scalar):
-        snr_vec = jnp.full((batch_frames,), snr_scalar, jnp.float32)
-        bits, rx_in, _, _, _ = trainer.synthesize(key, batch_frames, snr_vec)
+    def eval_counts(params, bits, rx_in):
         logits, *_ = trainer.model.apply({"params": params}, rx_in)
         pred = M.bit_predictions(logits)
         errors = jnp.sum((pred != bits).astype(jnp.int32))
@@ -187,6 +193,46 @@ def _ber_sweep_point_batch(trainer, params, key, snrs, frames_per_point,
                              dtype=logp.dtype)
         ce = -jnp.sum(jnp.mean(jnp.sum(y1h * logp, axis=-1), axis=1))
         return errors, ce
+
+    if mesh is None:
+        @jax.jit
+        def point_eval(params, key, snr_scalar):
+            snr_vec = jnp.full((batch_frames,), snr_scalar, jnp.float32)
+            bits, rx_in, _, _, _ = trainer.synthesize(
+                key, batch_frames, snr_vec)
+            return eval_counts(params, bits, rx_in)
+    else:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        n_dev = mesh.shape["dp"]
+        shard_frames = -(-batch_frames // n_dev)      # ceil division
+        batch_frames = shard_frames * n_dev
+
+        def shard_fn(params, key, snr_scalar):
+            key = jax.random.fold_in(key, jax.lax.axis_index("dp"))
+            snr_vec = jnp.full((shard_frames,), snr_scalar, jnp.float32)
+            bits, y_iq, _, _, _ = trainer.synthesize(
+                key, shard_frames, snr_vec, normalize=False)
+            # global whole-batch moments: psum the per-shard partial sums
+            s = jax.lax.psum(jnp.sum(y_iq, axis=0, keepdims=True), "dp")
+            sq = jax.lax.psum(
+                jnp.sum(y_iq * y_iq, axis=0, keepdims=True), "dp")
+            mean = s / batch_frames
+            var = sq / batch_frames - mean * mean
+            rx_in = ((y_iq - mean) * jax.lax.rsqrt(var + 1e-9)
+                     / jnp.sqrt(2.0))
+            errors, ce = eval_counts(params, bits, rx_in)
+            return jax.lax.psum(errors, "dp"), jax.lax.psum(ce, "dp")
+
+        sharded = shard_map(shard_fn, mesh=mesh,
+                            in_specs=(P(), P(), P()),
+                            out_specs=(P(), P()),
+                            check_vma=False)
+
+        @jax.jit
+        def point_eval(params, key, snr_scalar):
+            return sharded(params, key, snr_scalar)
 
     n_calls = max(1, frames_per_point // batch_frames)
     bits_per_frame = trainer.plan.frame_size * trainer.cfg.nbits

@@ -228,11 +228,15 @@ class Trainer:
 
     # -- data pipeline (on device) ------------------------------------------
     def synthesize(self, key: jax.Array, n_frames: int, snr_db: jnp.ndarray,
-                   norm_groups: jnp.ndarray | None = None):
+                   norm_groups: jnp.ndarray | None = None,
+                   normalize: bool = True):
         """bits -> waveform -> fading -> AWGN -> normalized receiver input.
 
         `norm_groups` [B, G] one-hot: per-group batch-norm statistics (used by
-        the interleaved-SNR sweep for per-SNR-point protocol parity)."""
+        the interleaved-SNR sweep for per-SNR-point protocol parity).
+        `normalize=False` returns the raw post-AWGN waveform in place of
+        `rx_in` so a caller can apply `batch_norm_ref` with externally
+        aggregated moments (the mesh point_batch sweep psums them over dp)."""
         kb, kc, kn = jax.random.split(key, 3)
         # fair coin via the low bit of uint8 draws: 4x fewer generator bits
         # than bernoulli's f32-uniform compare (reference `util.py:25-34`
@@ -245,7 +249,8 @@ class Trainer:
         wf = self.tx(bits)                       # [B, S, K+CP, 2]
         ch = self.channel(kc, wf)
         y_iq, noise_pwr = awgn_channel(kn, ch.y, snr_db)
-        rx_in = batch_norm_ref(y_iq, group_onehot=norm_groups)
+        rx_in = (batch_norm_ref(y_iq, group_onehot=norm_groups)
+                 if normalize else y_iq)
         return bits, rx_in, ch.h_freq, noise_pwr, wf
 
     # -- loss ----------------------------------------------------------------
