@@ -72,11 +72,26 @@ def render(d: dict, src: str) -> str:
             f"spread across rounds <= x{worst} (worst step);")
     rf = d.get("roofline_vs_v5e_peaks")
     if rf:
-        lines.append(
-            f"* winning train step vs v5e peaks (XLA cost analysis): "
-            f"{rf['tflops_per_sec']} TFLOP/s ({rf['pct_bf16_peak']}% of "
-            f"bf16 peak), {rf['hbm_gb_per_sec']} GB/s HBM "
-            f"({rf['pct_hbm_peak']}% of ~819 GB/s);")
+        # XLA cost analysis cannot see inside a Pallas kernel: when the
+        # winning step is the fused kernel, the reported FLOP count covers
+        # only the XLA-visible glue ops and the HBM bytes are the kernel's
+        # true external traffic — say so instead of printing a bogus 0%.
+        fused_win = "fused" in str(d.get("headline_grad_path", ""))
+        if fused_win:
+            lines.append(
+                f"* winning (fused-kernel) train step external HBM "
+                f"traffic: {rf['hbm_gb_per_sec']} GB/s "
+                f"({rf['pct_hbm_peak']}% of ~819 GB/s) — the step is no "
+                f"longer bandwidth-bound (the XLA-autodiff step ran at "
+                f"~80% of HBM peak); XLA cost analysis cannot count "
+                f"FLOPs inside the Pallas kernel, so no MXU utilization "
+                f"figure is reported here;")
+        else:
+            lines.append(
+                f"* winning train step vs v5e peaks (XLA cost analysis): "
+                f"{rf['tflops_per_sec']} TFLOP/s ({rf['pct_bf16_peak']}% of "
+                f"bf16 peak), {rf['hbm_gb_per_sec']} GB/s HBM "
+                f"({rf['pct_hbm_peak']}% of ~819 GB/s);")
     # the forward-only microbenchmark is dispatch-noise-prone on this
     # tunneled backend once many executables are co-resident (round-5
     # measurements ranged 2.4-138 G for the identical program; 138 G
@@ -107,10 +122,14 @@ def main():
     if len(sys.argv) > 1:
         src = sys.argv[1]
     else:
-        cands = sorted(glob.glob(os.path.join(ROOT, "BENCH_r*.json")))
+        # newest by mtime across driver artifacts AND the live local bench
+        # (a fresh `python bench.py` writes runs/bench_local.json — picking
+        # a stale BENCH_r*.json over it silently reverts the README)
+        cands = (glob.glob(os.path.join(ROOT, "BENCH_r*.json")) +
+                 glob.glob(os.path.join(ROOT, "runs", "bench_local.json")))
         if not cands:
-            raise SystemExit("no BENCH_r*.json found and no path given")
-        src = cands[-1]
+            raise SystemExit("no bench artifact found and no path given")
+        src = max(cands, key=os.path.getmtime)
     block = render(load(src), os.path.basename(src))
     rp = os.path.join(ROOT, "README.md")
     text = open(rp).read()
