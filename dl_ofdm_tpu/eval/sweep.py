@@ -260,12 +260,14 @@ def cross_channel_sweep(make_trainer, params, key: jax.Array,
                         batch_frames: int = 3000,
                         test_channels: Sequence[str] = CROSS_TEST_CHANNELS,
                         log_fn=print,
-                        point_batch: bool = False) -> dict[str, SweepResult]:
+                        point_batch: bool = False,
+                        mesh=None) -> dict[str, SweepResult]:
     """Evaluate one trained model across the 5 test channels.
 
     `make_trainer(channel, mobile)` must return a Trainer-like object whose
     model matches `params`.  `point_batch=True` selects the reference-parity
-    per-point normalization protocol (see `ber_sweep`).
+    per-point normalization protocol (see `ber_sweep`); `mesh` shard_maps
+    each batch over its 'dp' axis (both protocols compose with it).
     """
     results = {}
     for chan in test_channels:
@@ -273,7 +275,8 @@ def cross_channel_sweep(make_trainer, params, key: jax.Array,
         log_fn(f"Test in {chan}, mobile: {mobile}")
         key, k = jax.random.split(key)
         res = ber_sweep(trainer, params, k, snrs, frames_per_point,
-                        batch_frames, log_fn, point_batch=point_batch)
+                        batch_frames, log_fn, point_batch=point_batch,
+                        mesh=mesh)
         suffix = "_mobile" if mobile else ""
         name = (f"Test_DCCN_{token}_Equalizer{opt}_{train_channel}"
                 f"_test_chan_{chan}{suffix}.csv")
